@@ -1,0 +1,77 @@
+"""Flagship ingest pipeline: corpus -> decode/stats/phash -> dedup -> store.
+
+The Ray-Data-native restatement of the reference's image chain
+(06_extract_images.py decode fan-out + 12_input_images.py row load +
+13_calculate_image_stats.py stats pass), collapsed into one streaming
+pipeline:
+
+    read (column-pruned)
+      -> map_batches(DecodeStats actor pool)     # M5/M6/M11/O7 in one pass
+      -> filter decode_ok                        # error channel, not quit()
+      -> add host-hash bucket                    # ONE partition key everywhere
+      -> dedup_exact on phash (skinny shuffle)   # O7/O3
+      -> ImageStore.append (atomic manifest)     # resumable sink
+
+No stage materializes the full dataset; the only all-to-all is the skinny
+(phash, image_id) dedup pass (see stages/dedup.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..sources.store import ImageStore
+from ..stages.decode import DecodeStats
+from ..stages.dedup import dedup_exact
+
+DEFAULT_BUCKETS = 64
+
+
+def add_bucket(ds, n_buckets: int = DEFAULT_BUCKETS, src: str = "host_hash",
+               name: str = "bucket"):
+    """Attach the host-hash bucket column (the engine-wide partition key)."""
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        hh = batch[src].to_numpy(zero_copy_only=False).view(np.uint64)
+        return batch.append_column(name, pa.array((hh % np.uint64(n_buckets)).astype(np.int32)))
+
+    return ds.map_batches(bucketize, batch_format="pyarrow")
+
+
+def decode_pipeline(ds, *, concurrency: int | tuple[int, int] = 4, batch_size: int = 64,
+                    keep_bytes: bool = True):
+    """read -> DecodeStats actor pool -> decode_ok filter. Returns lazy Dataset."""
+    out = ds.map_batches(
+        DecodeStats,
+        fn_constructor_kwargs={"keep_bytes": keep_bytes},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+    return out.map_batches(
+        lambda t: t.filter(t["decode_ok"]), batch_format="pyarrow"
+    )
+
+
+def ingest(source_ds, store: ImageStore | None = None, pid: str = "ingest", *,
+           concurrency: int | tuple[int, int] = 4, batch_size: int = 64,
+           dedup: bool = True, n_buckets: int = DEFAULT_BUCKETS,
+           keep_bytes: bool = True):
+    """Run the flagship pipeline; returns the final Dataset (lazy if store=None).
+
+    With a store, the result is committed as one atomic partition ``pid`` and
+    re-running with the same pid is a no-op (resume semantics) — the
+    reference's count-ledger ``is_done`` check (07:28-42) as a manifest stat.
+    """
+    if store is not None and store.is_done(pid):
+        return store.read_dataset(pid)
+    ds = decode_pipeline(source_ds, concurrency=concurrency, batch_size=batch_size,
+                         keep_bytes=keep_bytes)
+    ds = add_bucket(ds, n_buckets)
+    if dedup:
+        ds = dedup_exact(ds, key="phash", order_col="image_id")
+    if store is not None:
+        store.append_dataset(pid, ds, meta={"pipeline": "ingest"})
+        return store.read_dataset(pid)
+    return ds

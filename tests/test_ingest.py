@@ -1,0 +1,111 @@
+"""End-to-end flagship ingest pipeline tests (Ray)."""
+
+import numpy as np
+import pytest
+
+from logcrawler_ray.codecs import registry
+from logcrawler_ray.functions.hashing import to_uint64
+from logcrawler_ray.functions.image_stats import blurredness_batch, brightness_batch
+from logcrawler_ray.functions.phash import grayscale, phash_batch
+from logcrawler_ray.pipelines.ingest import ingest, decode_pipeline
+from logcrawler_ray.sources import corpus
+from logcrawler_ray.sources.store import ImageStore
+
+N = 96
+
+
+@pytest.fixture(scope="module")
+def corpus_tab():
+    return corpus.corpus_table(N, seed=42)
+
+
+@pytest.fixture()
+def source_ds(ray_session, corpus_tab):
+    import ray.data as rd
+
+    return rd.from_arrow(corpus_tab)
+
+
+def test_decode_stage_matches_stored_phash(source_ds, corpus_tab):
+    out = decode_pipeline(source_ds, concurrency=2, batch_size=32).to_pandas()
+    assert len(out) == N
+    assert out["decode_ok"].all()
+    stored = dict(zip(corpus_tab["image_id"].to_pylist(), corpus_tab["phash"].to_pylist()))
+    for _, row in out.iterrows():
+        assert row["phash"] == stored[row["image_id"]], row["image_id"]
+
+
+def test_decode_stage_stats_match_oracle(source_ds, corpus_tab):
+    """Per-row brightness/blur equal a direct driver-side computation."""
+    out = decode_pipeline(source_ds, concurrency=2, batch_size=32).to_pandas()
+    rows = {r["image_id"]: r for r in corpus_tab.to_pylist()}
+    for _, got in out.head(20).iterrows():
+        r = rows[got["image_id"]]
+        rgb = registry.decode(r["fmt"], r["bytes"], r["w"], r["h"])
+        g = grayscale(rgb[None])
+        assert got["brightness"] == pytest.approx(brightness_batch(g)[0])
+        assert got["blurredness"] == pytest.approx(blurredness_batch(g)[0])
+        assert got["resolution"] == f"{r['w']}x{r['h']}"
+
+
+def test_decode_error_channel(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    bad = pa.table(
+        {
+            "image_id": ["x", "y"],
+            "bytes": [b"not an image", corpus.corpus_table(1)["bytes"][0].as_py()],
+            "w": pa.array([10, 64], type=pa.int32()),
+            "h": pa.array([10, 48], type=pa.int32()),
+            "fmt": ["png", corpus.corpus_table(1)["fmt"][0].as_py()],
+        }
+    )
+    ds = rd.from_arrow(bad)
+    from logcrawler_ray.stages.decode import DecodeStats
+
+    out = ds.map_batches(DecodeStats, batch_format="pyarrow", concurrency=1).to_pandas()
+    assert list(out.sort_values("image_id")["decode_ok"]) in ([False, True], [True, False])
+    assert not out[out["image_id"] == "x"]["decode_ok"].iloc[0]
+
+
+def test_ingest_dedup_and_store(ray_session, source_ds, corpus_tab, tmp_path):
+    store = ImageStore(str(tmp_path / "store"))
+    result = ingest(source_ds, store, pid="t0", concurrency=2, batch_size=32)
+    got = result.to_pandas()
+    uniq = len(set(corpus_tab["phash"].to_pylist()))
+    assert len(got) == uniq
+    # first-wins: kept image_id is the min per phash group
+    import collections
+
+    groups = collections.defaultdict(list)
+    for r in corpus_tab.to_pylist():
+        groups[r["phash"]].append(r["image_id"])
+    kept = set(got["image_id"])
+    for ph, ids in groups.items():
+        assert min(ids) in kept
+        for other in ids:
+            if other != min(ids):
+                assert other not in kept
+    assert store.rows("t0") == uniq
+
+
+def test_ingest_resume_skips_done(ray_session, source_ds, tmp_path):
+    store = ImageStore(str(tmp_path / "store"))
+    ingest(source_ds, store, pid="t0", concurrency=2, batch_size=32)
+    n1 = store.rows("t0")
+    # second run: same pid -> manifest hit, no recompute, same rows
+    out = ingest(source_ds, store, pid="t0", concurrency=2, batch_size=32)
+    assert store.rows("t0") == n1
+    assert out.count() == n1
+
+
+def test_dedup_within_batch():
+    import pyarrow as pa
+
+    from logcrawler_ray.stages.dedup import dedup_within_batch
+
+    t = pa.table({"phash": [5, 1, 5, 1, 2], "image_id": ["e", "b", "a", "d", "c"]})
+    out = dedup_within_batch(t, "phash", "image_id")
+    assert out["phash"].to_pylist() == [1, 2, 5]
+    assert out["image_id"].to_pylist() == ["b", "c", "a"]
