@@ -1,10 +1,696 @@
 """Driver-contract query registry: QUERIES (Ray Data) + ORACLE_SQL (DuckDB).
 
-Populated operator-by-operator as SURVEY.md §2 coverage lands.
-Every computed column is named identically in both implementations.
+One entry per operator family from SURVEY.md §2, each implemented
+Ray-Data-first (column-pruned reads, vectorized map_batches, broadcast
+small-side joins, partial aggregation before shuffles) and — where ANSI-SQL
+can express it — mirrored by a DuckDB oracle with IDENTICAL column names.
+Float aggregates are rounded on both sides to dodge summation-order noise.
+
+Ray is initialised by the driver; nothing here calls ray.init().
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
 QUERIES: dict = {}
 ORACLE_SQL: dict = {}
+
+
+def _q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE_SQL[name] = sql
+        return fn
+
+    return deco
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None, **kw):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns, **kw)
+
+
+def _round(df: pd.DataFrame, cols: dict[str, int]) -> pd.DataFrame:
+    for c, nd in cols.items():
+        df[c] = df[c].round(nd)
+    return df
+
+
+# =====================================================================
+# Relational core (SURVEY.md §2.2 maps/filters, §2.5 aggregations)
+# =====================================================================
+
+@_q(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) / 100.0          AS sum_qty,
+           SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0     AS sum_base_price,
+           SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+               * CAST(ROUND((1 - l_discount) * 100) AS BIGINT)) / 10000.0 AS sum_disc_price,
+           ROUND(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) / 100.0 / COUNT(*), 4) AS avg_qty,
+           ROUND(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) / 100.0 / COUNT(*), 4) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(sf_dir: str):
+    """TPC-H-Q1-shaped grouped aggregate (§2.5 A2 partial+final pattern).
+
+    Money columns are exact 2-decimal values stored as doubles, so both
+    engines sum integer cents (e2) / ten-thousandths (e4) and divide by the
+    same constants afterwards — bit-identical doubles, no summation-order
+    noise in the value hash."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(
+        sf_dir, "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+                 "l_discount", "l_shipdate"],
+        filter=(pc.field("l_shipdate") <= pa.scalar(pd.Timestamp("1998-09-02"))),
+    )
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        qty_e2 = np.round(t["l_quantity"].to_numpy() * 100).astype(np.int64)
+        price_e2 = np.round(t["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        disc_e2 = np.round(t["l_discount"].to_numpy() * 100).astype(np.int64)
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "qty_e2": qty_e2,
+            "price_e2": price_e2,
+            "disc_e2": disc_e2,
+            "disc_price_e4": price_e2 * (100 - disc_e2),
+        })
+
+    ds = ds.map_batches(to_cents, batch_format="pyarrow")
+    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("qty_e2", alias_name="qty_e2"),
+        Sum("price_e2", alias_name="price_e2"),
+        Sum("disc_price_e4", alias_name="disc_price_e4"),
+        Sum("disc_e2", alias_name="disc_e2"),
+        Count(alias_name="count_order"),
+    ).to_pandas()
+    out["sum_qty"] = out.pop("qty_e2") / 100.0
+    out["sum_base_price"] = out.pop("price_e2") / 100.0
+    out["sum_disc_price"] = out.pop("disc_price_e4") / 10000.0
+    out["avg_qty"] = (out["sum_qty"] / out["count_order"]).round(4)
+    out["avg_disc"] = (out.pop("disc_e2") / 100.0 / out["count_order"]).round(4)
+    return out
+
+
+@_q(
+    "q02_parts_filter",
+    "SELECT p_partkey, p_name, p_size FROM part WHERE p_size >= 40",
+)
+def q02_parts_filter(sf_dir: str):
+    """Column-pruned read + vectorized predicate (M4-style filter)."""
+    return _read(sf_dir, "part", columns=["p_partkey", "p_name", "p_size"],
+                 filter=(pc.field("p_size") >= 40))
+
+
+@_q(
+    "q03_top_customers",
+    """
+    SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS acctbal
+    FROM customer ORDER BY c_acctbal DESC, c_custkey LIMIT 10
+    """,
+)
+def q03_top_customers(sf_dir: str):
+    """Sort + limit (O1/O2 ordering). Deterministic tie-break on key."""
+    ds = _read(sf_dir, "customer", columns=["c_custkey", "c_name", "c_acctbal"])
+    out = ds.sort(["c_acctbal", "c_custkey"], descending=[True, False]).limit(10).to_pandas()
+    out["acctbal"] = out.pop("c_acctbal").round(2)
+    return out
+
+
+@_q(
+    "q04_orders_by_priority",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n_orders,
+           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS sum_total
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q04_orders_by_priority(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderpriority": t["o_orderpriority"],
+            "total_e2": np.round(t["o_totalprice"].to_numpy() * 100).astype(np.int64),
+        })
+
+    out = (
+        _read(sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"])
+        .map_batches(cents, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Count(alias_name="n_orders"), Sum("total_e2", alias_name="total_e2"))
+        .to_pandas()
+    )
+    out["sum_total"] = out.pop("total_e2") / 100.0
+    return out
+
+
+@_q(
+    "q05_nation_region",
+    """
+    SELECT n_nationkey, n_name, r_name
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    """,
+)
+def q05_nation_region(sf_dir: str):
+    """Broadcast hash join (J3 pattern): tiny side shipped once via ray.put."""
+    import ray
+
+    region = {r["r_regionkey"]: r["r_name"] for r in _read(sf_dir, "region").take_all()}
+    ref = ray.put(region)
+
+    def attach(t: pa.Table) -> pa.Table:
+        rmap = ray.get(ref)
+        r_name = [rmap[k] for k in t["n_regionkey"].to_pylist()]
+        return pa.table({"n_nationkey": t["n_nationkey"], "n_name": t["n_name"],
+                         "r_name": pa.array(r_name, pa.string())})
+
+    return _read(sf_dir, "nation").map_batches(attach, batch_format="pyarrow")
+
+
+@_q(
+    "q06_revenue_by_nation",
+    """
+    SELECT n_name,
+           SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+               * CAST(ROUND((1 - l_discount) * 100) AS BIGINT)) / 10000.0 AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def q06_revenue_by_nation(sf_dir: str):
+    """Multi-hop star join: every dimension is broadcast (orders->custkey,
+    customer->nationkey, nation->name), the fact table streams; revenue is
+    pre-aggregated per batch (combiner) so the final groupby sees one row
+    per nation per block — the §4 'push aggregation partial' rule."""
+    import ray
+
+    o = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]).to_pandas()
+    c = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
+    n = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    ord_cust = dict(zip(o["o_orderkey"], o["o_custkey"]))
+    cust_nat = dict(zip(c["c_custkey"], c["c_nationkey"]))
+    nat_name = dict(zip(n["n_nationkey"], n["n_name"]))
+    ref = ray.put((ord_cust, cust_nat, nat_name))
+
+    def partial(t: pa.Table) -> pa.Table:
+        oc, cn, nn = ray.get(ref)
+        keys = t["l_orderkey"].to_numpy()
+        price_e2 = np.round(t["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        disc_e2 = np.round(t["l_discount"].to_numpy() * 100).astype(np.int64)
+        rev_e4 = price_e2 * (100 - disc_e2)
+        names = [nn[cn[oc[k]]] for k in keys]
+        df = pd.DataFrame({"n_name": names, "rev_e4": rev_e4})
+        g = df.groupby("n_name", as_index=False)["rev_e4"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Sum("rev_e4", alias_name="rev_e4"))
+        .to_pandas()
+    )
+    out["revenue"] = out.pop("rev_e4") / 10000.0
+    return out
+
+
+@_q(
+    "q07_customer_order_counts",
+    """
+    SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey
+    """,
+)
+def q07_customer_order_counts(sf_dir: str):
+    """Left outer join + count (J2 left-join semantics: unmatched kept)."""
+    import ray
+    from ray.data.aggregate import Count
+
+    counts = (
+        _read(sf_dir, "orders", columns=["o_custkey"])
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="n_orders"))
+        .to_pandas()
+    )
+    cmap = dict(zip(counts["o_custkey"], counts["n_orders"]))
+    ref = ray.put(cmap)
+
+    def attach(t: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        keys = t["c_custkey"].to_pylist()
+        return pa.table({"c_custkey": t["c_custkey"],
+                         "n_orders": pa.array([m.get(k, 0) for k in keys], pa.int64())})
+
+    return _read(sf_dir, "customer", columns=["c_custkey"]).map_batches(
+        attach, batch_format="pyarrow")
+
+
+@_q(
+    "q08_customers_no_orders",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
+def q08_customers_no_orders(sf_dir: str):
+    """Anti-join via broadcast key set (J7's removal semantics, §2.4)."""
+    import ray
+
+    have = set(
+        _read(sf_dir, "orders", columns=["o_custkey"]).unique("o_custkey")
+    )
+    ref = ray.put(frozenset(have))
+
+    def anti(t: pa.Table) -> pa.Table:
+        s = ray.get(ref)
+        mask = [k not in s for k in t["c_custkey"].to_pylist()]
+        return t.filter(pa.array(mask))
+
+    ds = _read(sf_dir, "customer", columns=["c_custkey", "c_name"]).map_batches(
+        anti, batch_format="pyarrow")
+    # possibly-empty result: pin the schema explicitly so an empty Dataset
+    # still compares schema-equal to the oracle
+    rows = ds.take_all()
+    return pd.DataFrame(rows, columns=["c_custkey", "c_name"]).astype(
+        {"c_custkey": np.int64, "c_name": str})
+
+
+@_q(
+    "q09_parts_in_lineitem",
+    """
+    SELECT p_partkey, p_name FROM part
+    WHERE p_partkey IN (SELECT l_partkey FROM lineitem)
+    """,
+)
+def q09_parts_in_lineitem(sf_dir: str):
+    """Semi-join via broadcast key set."""
+    import ray
+
+    have = set(_read(sf_dir, "lineitem", columns=["l_partkey"]).unique("l_partkey"))
+    ref = ray.put(frozenset(have))
+
+    def semi(t: pa.Table) -> pa.Table:
+        s = ray.get(ref)
+        mask = [k in s for k in t["p_partkey"].to_pylist()]
+        return t.filter(pa.array(mask))
+
+    return _read(sf_dir, "part", columns=["p_partkey", "p_name"]).map_batches(
+        semi, batch_format="pyarrow")
+
+
+# =====================================================================
+# Events stream (§2.8 stream semantics; A6-style time aggregation)
+# =====================================================================
+
+@_q(
+    "q10_events_by_type",
+    """
+    SELECT event_type, COUNT(*) AS n,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS sum_value,
+           ROUND(SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 / COUNT(*), 4) AS avg_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q10_events_by_type(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"],
+            "value_e2": np.round(t["value"].to_numpy() * 100).astype(np.int64),
+        })
+
+    out = (
+        _read(sf_dir, "events", columns=["event_type", "value"])
+        .map_batches(cents, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n"), Sum("value_e2", alias_name="value_e2"))
+        .to_pandas()
+    )
+    out["sum_value"] = out.pop("value_e2") / 100.0
+    out["avg_value"] = (out["sum_value"] / out["n"]).round(4)
+    return out
+
+
+@_q(
+    "q11_events_daily",
+    """
+    SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def q11_events_daily(sf_dir: str):
+    """Tumbling daily window as a groupby on the truncated timestamp —
+    string keys on both sides so the hash compare is type-stable."""
+    from ray.data.aggregate import Count
+
+    def add_day(t: pa.Table) -> pa.Table:
+        days = pc.strftime(t["ts"], format="%Y-%m-%d")
+        return pa.table({"day": days})
+
+    return (
+        _read(sf_dir, "events", columns=["ts"])
+        .map_batches(add_day, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+@_q(
+    "q12_asof_click_purchase",
+    """
+    SELECT c.event_id, c.user_id, COALESCE(epoch_us(p.ts), -1) AS purchase_ts_us
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+)
+def q12_asof_click_purchase(sf_dir: str):
+    """As-of join (J4): for each click, the latest purchase by the same user
+    at or before it. Ray side: tag+union+groupby(user)+sorted merge_asof
+    (stages/asof.py); oracle: DuckDB ASOF JOIN. Matched time is returned as
+    epoch microseconds so NULLs and types hash identically."""
+    from .stages.asof import asof_join
+
+    clicks = _read(sf_dir, "events", columns=["event_id", "user_id", "event_type", "ts"],
+                   filter=(pc.field("event_type") == "click")).drop_columns(["event_type"])
+    purchases = _read(sf_dir, "events", columns=["user_id", "event_type", "ts"],
+                      filter=(pc.field("event_type") == "purchase")).drop_columns(["event_type"])
+    joined = asof_join(clicks, purchases, on="ts", by="user_id").to_pandas()
+    out = joined[["event_id", "user_id"]].copy()
+    ts_r = pd.to_datetime(joined["ts_right"])
+    us = ts_r.astype("datetime64[us]").view("int64")  # NaT -> int64 min
+    out["purchase_ts_us"] = np.where(ts_r.isna(), np.int64(-1), us).astype(np.int64)
+    return out
+
+
+@_q(
+    "q20_sessionize",
+    """
+    SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions FROM (
+      SELECT user_id,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events) GROUP BY user_id
+    """,
+)
+def q20_sessionize(sf_dir: str):
+    """Session windowing (30-min gap) — the §2.8 ordered-stream pattern:
+    groupby(user) + per-group ordered pandas; the oracle is a SQL window."""
+
+    def sessions(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"], kind="mergesort")
+        gaps = df["ts"].diff()
+        new_s = (gaps.isna() | (gaps > pd.Timedelta(minutes=30))).sum()
+        return pd.DataFrame({"user_id": [df["user_id"].iloc[0]],
+                             "n_sessions": [np.int64(new_s)]})
+
+    return (
+        _read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+        .groupby("user_id")
+        .map_groups(sessions, batch_format="pandas")
+    )
+
+
+# =====================================================================
+# Distinct / dedup (§2.6 O3-O7)
+# =====================================================================
+
+@_q(
+    "q13_distinct_flags",
+    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def q13_distinct_flags(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    return (
+        _read(sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus"])
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Count(alias_name="__n"))
+        .drop_columns(["__n"])
+    )
+
+
+@_q(
+    "q14_doc_dedup_exact",
+    """
+    SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY text
+    """,
+)
+def q14_doc_dedup_exact(sf_dir: str):
+    """Exact text dedup: first-wins per content group (O3/O5 semantics)."""
+    from ray.data.aggregate import Count, Min
+
+    return (
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .groupby("text")
+        .aggregate(Min("doc_id", alias_name="keeper_id"), Count(alias_name="n_copies"))
+        .drop_columns(["text"])
+    )
+
+
+# =====================================================================
+# Documents: text analytics
+# =====================================================================
+
+@_q(
+    "q15_doc_stats_by_lang",
+    """
+    SELECT lang, COUNT(*) AS n_docs, ROUND(AVG(n_chars), 4) AS avg_chars,
+           MAX(n_chars) AS max_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def q15_doc_stats_by_lang(sf_dir: str):
+    from ray.data.aggregate import Count, Max, Mean
+
+    out = (
+        _read(sf_dir, "documents", columns=["lang", "n_chars"])
+        .groupby("lang")
+        .aggregate(Count(alias_name="n_docs"), Mean("n_chars", alias_name="avg_chars"),
+                   Max("n_chars", alias_name="max_chars"))
+        .to_pandas()
+    )
+    return _round(out, {"avg_chars": 4})
+
+
+@_q(
+    "q16_token_counts",
+    "SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents",
+)
+def q16_token_counts(sf_dir: str):
+    """Token counting — single-space split, bit-compatible with DuckDB's
+    string_split(text, ' ')."""
+
+    def count_tokens(t: pa.Table) -> pa.Table:
+        n = pc.add(pc.count_substring(t["text"], " "), 1)
+        return pa.table({"doc_id": t["doc_id"], "n_tokens": pc.cast(n, pa.int64())})
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        count_tokens, batch_format="pyarrow")
+
+
+@_q(
+    "q17_top_tokens",
+    """
+    SELECT word, COUNT(*) AS n FROM
+      (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    GROUP BY word ORDER BY n DESC, word LIMIT 20
+    """,
+)
+def q17_top_tokens(sf_dir: str):
+    """Explode + global count + top-k: per-batch partial counts (combiner)
+    before the groupby so the shuffle carries (word, partial_n) only."""
+    from ray.data.aggregate import Sum
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], " ")
+        flat = pc.list_flatten(toks)
+        vc = flat.value_counts()
+        return pa.table({"word": vc.field("values"), "n": vc.field("counts")})
+
+    out = (
+        _read(sf_dir, "documents", columns=["text"])
+        .map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    out = out.sort_values(["n", "word"], ascending=[False, True]).head(20)
+    return out.reset_index(drop=True)
+
+
+# =====================================================================
+# Embeddings: similarity search
+# =====================================================================
+
+_ANN_QUERY_IDS = [0, 1, 2]
+
+
+@_q(
+    "q18_ann_topk",
+    f"""
+    SELECT q_id, vec_id, rank FROM (
+      SELECT q.vec_id AS q_id, b.vec_id AS vec_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+                                               b.embedding::DOUBLE[]) DESC,
+                        b.vec_id) AS rank
+      FROM (SELECT * FROM embeddings WHERE vec_id IN ({",".join(map(str, _ANN_QUERY_IDS))})) q
+      CROSS JOIN embeddings b)
+    WHERE rank <= 10
+    """,
+)
+def q18_ann_topk(sf_dir: str):
+    """Brute-force cosine top-k (stages/ann.py): broadcast query matrix,
+    per-batch float64 matmul, local-topk -> global merge."""
+    from .stages.ann import topk_cosine
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qrows = _read(
+        sf_dir, "embeddings",
+        filter=pc.field("vec_id").isin(_ANN_QUERY_IDS),
+    ).take_all()
+    qrows.sort(key=lambda r: r["vec_id"])
+    qm = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in qrows])
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    return topk_cosine(ds, qm, qids, k=10)
+
+
+@_q(
+    "q19_embedding_neardup",
+    """
+    SELECT a.vec_id AS a, b.vec_id AS b
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id < b.vec_id
+      AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+    """,
+)
+def q19_embedding_neardup(sf_dir: str):
+    """Embedding-cosine near-dup pairs at threshold 0.4 (stages/ann.py)."""
+    from .stages.ann import cosine_neardup_pairs
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return cosine_neardup_pairs(ds, threshold=0.4)
+
+
+# =====================================================================
+# Non-SQL-expressible operators (rows-only driver check)
+# =====================================================================
+
+@_q("q21_minhash_lsh_dups")
+def q21_minhash_lsh_dups(sf_dir: str):
+    """MinHash+LSH candidates verified by exact shingle Jaccard >= 0.2.
+    Deterministic; no SQL oracle (sketch-based)."""
+    from .stages.dedup_text import minhash_lsh_candidates, verify_jaccard_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    cands = minhash_lsh_candidates(ds, k=64, bands=16)
+    out = verify_jaccard_pairs(ds, cands, threshold=0.2)
+    out["jaccard"] = out["jaccard"].round(4)
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+@_q("q22_simhash_neardup")
+def q22_simhash_neardup(sf_dir: str):
+    """SimHash near-dup pairs (Hamming <= 12 over 64 bits); rows-only."""
+    from .stages.dedup_text import simhash_near_dup_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return simhash_near_dup_pairs(ds, max_hamming=12)
+
+
+@_q("q23_doc_quality")
+def q23_doc_quality(sf_dir: str):
+    """Language-ID heuristic + quality scoring per document; rows-only."""
+    from .functions.text import lang_id, quality_score
+
+    def score(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        qs = [quality_score(x) for x in texts]
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "lang_pred": pa.array([lang_id(x) for x in texts], pa.string()),
+            "n_words": pa.array([q["n_words"] for q in qs], pa.int64()),
+            "stop_ratio": pa.array([round(q["stop_ratio"], 4) for q in qs]),
+            "quality": pa.array([q["quality"] for q in qs]),
+        })
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow")
+
+
+@_q("q24_doc_fingerprint")
+def q24_doc_fingerprint(sf_dir: str):
+    """Rolling-hash document fingerprint (int64); rows-only."""
+    from .functions.hashing import to_int64
+    from .functions.text import fingerprint
+
+    def fp(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "fingerprint": pa.array(
+                [to_int64(fingerprint(x)) for x in t["text"].to_pylist()], pa.int64()),
+        })
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        fp, batch_format="pyarrow")
+
+
+@_q("q25_corpus_ingest")
+def q25_corpus_ingest(sf_dir: str):
+    """Flagship image pipeline at query scale: deterministic corpus sized
+    from the documents table -> decode+stats+phash -> exact phash dedup.
+    Deterministic rows-only result (no bytes in the output)."""
+    import pyarrow.parquet as pq
+
+    from .pipelines.ingest import ingest
+    from .sources.corpus import corpus_dataset
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    n = max(64, min(n_docs, 256))
+    ds = ingest(corpus_dataset(n, seed=42, batch_size=64), store=None,
+                concurrency=2, batch_size=64, keep_bytes=False)
+    out = ds.to_pandas()
+    out = out[["image_id", "host", "fmt", "w", "h", "phash", "resolution", "bucket"]]
+    return out.sort_values("image_id").reset_index(drop=True)
+
+
+@_q("q26_ann_lsh")
+def q26_ann_lsh(sf_dir: str):
+    """LSH-bucketed approximate top-k (scale path of q18); rows-only."""
+    from .stages.ann import lsh_topk_cosine
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qrows = _read(sf_dir, "embeddings",
+                  filter=pc.field("vec_id").isin(_ANN_QUERY_IDS)).take_all()
+    qrows.sort(key=lambda r: r["vec_id"])
+    qm = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in qrows])
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    return lsh_topk_cosine(ds, qm, qids, k=10, n_planes=12, probe_hamming=4)

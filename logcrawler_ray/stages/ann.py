@@ -1,0 +1,166 @@
+"""Similarity search over an embedding column (list<float>).
+
+- ``topk_cosine``: brute-force baseline — the query matrix is broadcast
+  once with ``ray.put`` and every batch does one float64 matmul; per-batch
+  local top-k candidates are merged into the global top-k (only
+  n_queries x k x n_blocks candidate rows ever reach the merge, never the
+  corpus).
+- ``lsh_topk_cosine``: the scale path — random-hyperplane LSH buckets
+  (signed projections -> b-bit code); probing only buckets within Hamming
+  radius of the query's code bounds the scanned fraction.
+- ``cosine_neardup_pairs``: all pairs above a cosine threshold (embedding
+  near-dup), blocked matmul.
+
+All math in float64 (cast from the stored float32) so results are
+deterministic and match the DuckDB ``list_cosine_similarity`` oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _to_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(arr)
+    return flat.reshape(n, -1)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+def topk_cosine(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> pd.DataFrame:
+    """Global top-k cosine neighbours per query vector.
+
+    Returns columns (q_id, vec_id, rank) with rank 1..k ordered by
+    (similarity desc, vec_id asc) — the deterministic tie rule.
+    """
+    import ray
+
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    qref = ray.put(qn)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        q = ray.get(qref)
+        m = _normalize(_to_matrix(batch[vec_col]))
+        ids = batch[id_col].to_numpy()
+        sims = q @ m.T  # (nq, nb)
+        take = min(k, sims.shape[1])
+        out_q, out_id, out_sim = [], [], []
+        for qi in range(sims.shape[0]):
+            s = sims[qi]
+            # partial select then exact ordering with the tie rule
+            cand = np.argpartition(-s, take - 1)[:take] if take < len(s) else np.arange(len(s))
+            order = np.lexsort((ids[cand], -s[cand]))
+            sel = cand[order]
+            out_q.extend([int(query_ids[qi])] * len(sel))
+            out_id.extend(ids[sel].tolist())
+            out_sim.extend(s[sel].tolist())
+        return pa.table({"q_id": pa.array(out_q, pa.int64()),
+                         id_col: pa.array(out_id, pa.int64()),
+                         "sim": pa.array(out_sim, pa.float64())})
+
+    cands = ds.map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    rows = []
+    for qid, grp in cands.groupby("q_id"):
+        grp = grp.sort_values(["sim", id_col], ascending=[False, True]).head(k)
+        for rank, (_, r) in enumerate(grp.iterrows(), start=1):
+            rows.append((qid, int(r[id_col]), rank))
+    return pd.DataFrame(rows, columns=["q_id", id_col, "rank"]).astype(np.int64)
+
+
+def cosine_neardup_pairs(ds, threshold: float = 0.9, id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> pd.DataFrame:
+    """All (a < b) pairs with cosine >= threshold.
+
+    Each batch compares against the full (normalized) corpus matrix,
+    broadcast once — O(N x B) matmuls, the honest brute-force baseline.
+    The LSH variant bounds this at scale.
+    """
+    import ray
+
+    full = ds.select_columns([id_col, vec_col]).to_pandas()
+    ids_all = full[id_col].to_numpy()
+    m_all = _normalize(
+        np.stack([np.asarray(v, dtype=np.float64) for v in full[vec_col]])
+    )
+    ref = ray.put((ids_all, m_all))
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        ids_a, m_a = ray.get(ref)
+        m = _normalize(_to_matrix(batch[vec_col]))
+        ids = batch[id_col].to_numpy()
+        sims = m @ m_a.T
+        bi, ai = np.nonzero(sims >= threshold)
+        keep = ids[bi] < ids_a[ai]
+        return pa.table({
+            "a": pa.array(ids[bi][keep], pa.int64()),
+            "b": pa.array(ids_a[ai][keep], pa.int64()),
+        })
+
+    out = ds.map_batches(pairs, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+# ------------------------------------------------------------------ LSH
+def hyperplane_codes(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """(N, d) vectors x (b, d) hyperplanes -> (N,) uint64 sign codes."""
+    signs = (m @ planes.T) > 0
+    bits = (np.uint64(1) << np.arange(planes.shape[0], dtype=np.uint64))
+    return (signs.astype(np.uint64) * bits[None, :]).sum(axis=1)
+
+
+def lsh_topk_cosine(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
+                    n_planes: int = 12, probe_hamming: int = 2, seed: int = 7,
+                    id_col: str = "vec_id", vec_col: str = "embedding") -> pd.DataFrame:
+    """Approximate top-k: scan only rows whose LSH code is within
+    ``probe_hamming`` of the query's code. Same output schema as
+    ``topk_cosine`` (q_id, vec_id, rank)."""
+    import ray
+
+    d = np.asarray(queries).shape[1]
+    rng = np.random.default_rng(seed)
+    planes = rng.normal(size=(n_planes, d))
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    qcodes = hyperplane_codes(qn, planes)
+    ref = ray.put((qn, qcodes, planes))
+
+    from ..functions.phash import hamming_batch
+
+    def local(batch: pa.Table) -> pa.Table:
+        q, qc, pl = ray.get(ref)
+        m = _normalize(_to_matrix(batch[vec_col]))
+        ids = batch[id_col].to_numpy()
+        codes = hyperplane_codes(m, pl)
+        out_q, out_id, out_sim = [], [], []
+        for qi in range(len(q)):
+            mask = hamming_batch(codes, np.full_like(codes, qc[qi])) <= probe_hamming
+            if not mask.any():
+                continue
+            s = q[qi] @ m[mask].T
+            sub_ids = ids[mask]
+            take = min(k, len(s))
+            cand = np.argpartition(-s, take - 1)[:take] if take < len(s) else np.arange(len(s))
+            order = np.lexsort((sub_ids[cand], -s[cand]))
+            sel = cand[order]
+            out_q.extend([int(query_ids[qi])] * len(sel))
+            out_id.extend(sub_ids[sel].tolist())
+            out_sim.extend(s[sel].tolist())
+        return pa.table({"q_id": pa.array(out_q, pa.int64()),
+                         id_col: pa.array(out_id, pa.int64()),
+                         "sim": pa.array(out_sim, pa.float64())})
+
+    cands = ds.map_batches(local, batch_format="pyarrow").to_pandas()
+    rows = []
+    for qid, grp in cands.groupby("q_id"):
+        grp = grp.sort_values(["sim", id_col], ascending=[False, True]).head(k)
+        for rank, (_, r) in enumerate(grp.iterrows(), start=1):
+            rows.append((qid, int(r[id_col]), rank))
+    return pd.DataFrame(rows, columns=["q_id", id_col, "rank"]).astype(np.int64)

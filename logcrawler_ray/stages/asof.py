@@ -1,0 +1,123 @@
+"""As-of / nearest joins on ordered time columns.
+
+Two operators:
+
+- ``asof_join``: generic backward/forward as-of join per key, the Ray-Data
+  co-group pattern — tag each side, union, ``groupby(key)``, and inside each
+  group run a sorted ``pd.merge_asof``. One shuffle on the key, ordered
+  merge within groups.
+
+- ``closest_rows``: the reference's bidirectional closest-frame alignment
+  (reference: 14_calculate_closest_frames.py:38-83): for every left row
+  find the right row with minimal ``|t_l - t_r|``, examining the bisect
+  neighbours ``pos-1``/``pos``, with ties broken to the row with the
+  *smaller id* (14:70-72). Vectorized with ``np.searchsorted`` per group
+  (the reference bisects row-at-a-time). Its brute-force O(n^2) oracle
+  (14:7-34) is reimplemented in tests/test_asof.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def asof_join(left_ds, right_ds, *, on: str, by: str, direction: str = "backward",
+              right_cols: list[str] | None = None, suffix: str = "_right"):
+    """Per-``by``-group as-of join of right onto left; returns a Dataset.
+
+    ``direction='backward'``: latest right row with t_r <= t_l (SQL ASOF).
+    Left rows keep their columns; matched right columns arrive suffixed
+    (the ``on`` column as ``{on}{suffix}``), NULL when no match.
+    """
+    r_cols = right_cols or []
+
+    tag_l = left_ds.map_batches(
+        lambda t: t.append_column("__side", pa.array(np.zeros(t.num_rows, dtype=np.int8))),
+        batch_format="pyarrow",
+    )
+    tag_r = right_ds.map_batches(
+        lambda t: t.append_column("__side", pa.array(np.ones(t.num_rows, dtype=np.int8))),
+        batch_format="pyarrow",
+    )
+    both = tag_l.union(tag_r)
+
+    def per_group(df: pd.DataFrame) -> pd.DataFrame:
+        left = df[df["__side"] == 0].drop(columns="__side").sort_values(on, kind="mergesort")
+        right = df[df["__side"] == 1].drop(columns="__side").sort_values(on, kind="mergesort")
+        left = left.dropna(axis=1, how="all")
+        rkeep = right[[on] + r_cols].dropna(axis=1, how="all")
+        if right.empty:
+            out = left.copy()
+            out[f"{on}{suffix}"] = pd.Series([pd.NaT] * len(out), dtype=f"datetime64[us]") \
+                if np.issubdtype(left[on].dtype, np.datetime64) else np.nan
+            for c in r_cols:
+                out[c + suffix] = np.nan
+            return out
+        merged = pd.merge_asof(
+            left, rkeep, on=on, direction=direction, suffixes=("", suffix)
+        )
+        if f"{on}{suffix}" not in merged.columns:
+            # pandas keeps only the left `on`; recompute the matched right time
+            rt = right[on].to_numpy()
+            pos = np.searchsorted(rt, left[on].to_numpy(), side="right") - 1
+            matched = np.where(pos >= 0, rt[pos.clip(0)], np.datetime64("NaT")
+                               if np.issubdtype(left[on].dtype, np.datetime64) else np.nan)
+            merged[f"{on}{suffix}"] = matched
+        return merged
+
+    return both.groupby(by).map_groups(per_group, batch_format="pandas")
+
+
+def closest_join_arrays(l_time: np.ndarray, l_id: np.ndarray,
+                        r_time: np.ndarray, r_id: np.ndarray) -> np.ndarray:
+    """Vectorized core of the reference's closest-frame rule.
+
+    Inputs: right side sorted by (time, id). Returns the matched right id
+    per left row: candidates are bisect neighbours pos-1 / pos
+    (14_calculate_closest_frames.py:55-69); on |dt| tie the row with the
+    smaller id wins (14:70-72).
+    """
+    n_r = len(r_time)
+    if n_r == 0:
+        return np.full(len(l_time), -1, dtype=np.int64)
+    pos = np.searchsorted(r_time, l_time, side="left")
+    lo = np.clip(pos - 1, 0, n_r - 1)
+    # runs of equal right times: the smallest id lives at the run start
+    # (right is sorted by (time, id)), so snap lo to its run's first entry;
+    # hi = pos is already a run start by construction of side="left".
+    lo = np.searchsorted(r_time, r_time[lo], side="left")
+    hi = np.clip(pos, 0, n_r - 1)
+    d_lo = np.abs(l_time - r_time[lo])
+    d_hi = np.abs(l_time - r_time[hi])
+    pick_lo = (d_lo < d_hi) | ((d_lo == d_hi) & (r_id[lo] <= r_id[hi]))
+    return np.where(pick_lo, r_id[lo], r_id[hi])
+
+
+def closest_rows(left_ds, right_ds, *, by: str = "log_id", time_col: str = "frame_time",
+                 id_col: str = "frame_id", out_col: str = "closest_id"):
+    """Bidirectional-capable nearest join (run twice with sides swapped for
+    the reference's two update passes, 14:102-165). Returns left rows +
+    ``out_col`` of the nearest right id (-1 when the right group is empty)."""
+
+    tag_l = left_ds.map_batches(
+        lambda t: t.append_column("__side", pa.array(np.zeros(t.num_rows, dtype=np.int8))),
+        batch_format="pyarrow",
+    )
+    tag_r = right_ds.map_batches(
+        lambda t: t.append_column("__side", pa.array(np.ones(t.num_rows, dtype=np.int8))),
+        batch_format="pyarrow",
+    )
+
+    def per_group(df: pd.DataFrame) -> pd.DataFrame:
+        left = df[df["__side"] == 0].drop(columns="__side")
+        right = df[df["__side"] == 1].sort_values([time_col, id_col], kind="mergesort")
+        out = left.copy()
+        out[out_col] = closest_join_arrays(
+            left[time_col].to_numpy(), left[id_col].to_numpy(),
+            right[time_col].to_numpy(), right[id_col].to_numpy(),
+        )
+        return out
+
+    return tag_l.union(tag_r).groupby(by).map_groups(per_group, batch_format="pandas")

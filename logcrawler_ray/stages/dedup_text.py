@@ -1,0 +1,229 @@
+"""Near-duplicate detection over text: MinHash+LSH, SimHash, n-gram Jaccard.
+
+The reference has no similarity operator (SURVEY.md §2.6 O7 notes the gap);
+these are the standard large-corpus near-dup family, expressed Ray-Data-
+first:
+
+- **MinHash**: one 64-bit hash per distinct shingle, then K affine
+  permutations min-reduced per doc — all numpy, no per-shingle Python hash
+  beyond the initial shingling.
+- **LSH**: minhash signature -> B bands of R rows; each band hashed to a
+  bucket key; ``flat_map`` docs to (band, bucket, doc_id) rows and a single
+  ``groupby(band, bucket)`` yields candidate groups — the shuffle moves only
+  (int16, int64, int64) rows, never documents.
+- **Verification**: candidate pairs re-checked with exact shingle Jaccard
+  (broadcast of just the candidate docs' shingle sets).
+- **SimHash**: 64-bit sign-aggregated token hashes; near-dup = Hamming <= k,
+  bucketed by 4x16-bit chunks (pigeonhole: any pair within Hamming 3 shares
+  at least one exact chunk).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.hashing import hash64_str_array, splitmix64, to_int64, to_uint64
+from ..functions.text import shingle_hashes, words
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def _perm_params(k: int, seed: int = 1234) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, (1 << 61) - 1, size=k, dtype=np.uint64)
+    b = rng.integers(0, (1 << 61) - 1, size=k, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signature(shingles: np.ndarray, k: int = 64, seed: int = 1234) -> np.ndarray:
+    """(S,) uint64 shingle hashes -> (k,) uint64 minhash signature."""
+    a, b = _perm_params(k, seed)
+    if len(shingles) == 0:
+        return np.full(k, np.iinfo(np.uint64).max, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        # affine permutation in 2^64 arithmetic (overflow wraps: fine for minhash)
+        vals = (shingles[None, :] * a[:, None] + b[:, None]) & _MERSENNE
+    return vals.min(axis=1)
+
+
+def minhash_batch(texts: list[str], k: int = 64, ngram: int = 3,
+                  seed: int = 1234) -> np.ndarray:
+    """List of docs -> (N, k) uint64 signatures."""
+    out = np.empty((len(texts), k), dtype=np.uint64)
+    for i, t in enumerate(texts):
+        out[i] = minhash_signature(shingle_hashes(t, ngram), k, seed)
+    return out
+
+
+def lsh_band_rows(doc_ids: np.ndarray, sigs: np.ndarray, bands: int = 16) -> pa.Table:
+    """Signatures -> exploded (band, bucket, doc_id) rows for the LSH groupby."""
+    n, k = sigs.shape
+    r = k // bands
+    band_col = np.repeat(np.arange(bands, dtype=np.int32), n)
+    ids = np.tile(np.asarray(doc_ids, dtype=np.int64), bands)
+    buckets = np.empty(bands * n, dtype=np.uint64)
+    for b in range(bands):
+        chunk = sigs[:, b * r : (b + 1) * r]
+        acc = np.zeros(n, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for j in range(r):
+                acc = splitmix64(acc ^ chunk[:, j])
+        buckets[b * n : (b + 1) * n] = acc
+    return pa.table(
+        {"band": band_col, "bucket": to_int64(buckets), "doc_id": ids}
+    )
+
+
+def candidate_pairs_from_groups(df: pd.DataFrame) -> pd.DataFrame:
+    """Per (band,bucket) group -> all doc_id pairs (a < b)."""
+    ids = np.sort(df["doc_id"].to_numpy())
+    if len(ids) < 2:
+        return pd.DataFrame({"a": [], "b": []}, dtype=np.int64)
+    ai, bi = np.triu_indices(len(ids), k=1)
+    return pd.DataFrame({"a": ids[ai], "b": ids[bi]})
+
+
+def minhash_lsh_candidates(ds, text_col: str = "text", id_col: str = "doc_id",
+                           k: int = 64, bands: int = 16, ngram: int = 3):
+    """Dataset of docs -> Dataset of distinct candidate pairs (a < b).
+
+    Shuffle cost: only (band:int32, bucket:int64, doc_id:int64) rows move.
+    """
+
+    def explode(batch: pa.Table) -> pa.Table:
+        sigs = minhash_batch(batch[text_col].to_pylist(), k=k, ngram=ngram)
+        return lsh_band_rows(batch[id_col].to_numpy(), sigs, bands)
+
+    rows = ds.map_batches(explode, batch_format="pyarrow")
+    pairs = rows.groupby(["band", "bucket"]).map_groups(
+        candidate_pairs_from_groups, batch_format="pandas"
+    )
+    # distinct (a, b) — skinny groupby
+    return pairs.groupby(["a", "b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
+
+
+def verify_jaccard_pairs(ds, pairs_ds, text_col: str = "text",
+                         id_col: str = "doc_id", ngram: int = 3,
+                         threshold: float = 0.8):
+    """Re-check candidate pairs with exact shingle Jaccard.
+
+    Broadcasts only the shingle sets of docs that appear in candidates
+    (at web scale this set is a small fraction of the corpus).
+    """
+    import ray
+
+    pairs = pairs_ds.to_pandas()
+    if pairs.empty:
+        return pairs.assign(jaccard=pd.Series(dtype=float))
+    needed = set(pairs["a"]) | set(pairs["b"])
+
+    def collect(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy()
+        mask = np.isin(ids, np.fromiter(needed, dtype=np.int64, count=len(needed)))
+        sel = batch.filter(pa.array(mask))
+        return pa.table(
+            {
+                id_col: sel[id_col],
+                "shingles": pa.array(
+                    [shingle_hashes(t, ngram).tolist() for t in sel[text_col].to_pylist()],
+                    type=pa.list_(pa.uint64()),
+                ),
+            }
+        )
+
+    sh_rows = ds.map_batches(collect, batch_format="pyarrow").take_all()
+    sets = {r[id_col]: set(r["shingles"]) for r in sh_rows}
+    out = []
+    for a, b in zip(pairs["a"], pairs["b"]):
+        sa, sb = sets.get(a, set()), sets.get(b, set())
+        union = len(sa | sb)
+        j = (len(sa & sb) / union) if union else 1.0
+        if j >= threshold:
+            out.append((a, b, j))
+    return pd.DataFrame(out, columns=["a", "b", "jaccard"])
+
+
+# --------------------------------------------------------------- SimHash
+def simhash_batch(texts: list[str], seed: int = 99) -> np.ndarray:
+    """Docs -> (N,) uint64 simhash (sign-aggregate of token hashes)."""
+    out = np.empty(len(texts), dtype=np.uint64)
+    bit_positions = np.arange(64, dtype=np.uint64)
+    for i, t in enumerate(texts):
+        toks = words(t)
+        if not toks:
+            out[i] = 0
+            continue
+        uniq, counts = np.unique(np.array(toks, dtype=object), return_counts=True)
+        hashes = hash64_str_array(list(uniq), seed=seed)
+        bits = ((hashes[:, None] >> bit_positions[None, :]) & np.uint64(1)).astype(np.int64)
+        acc = ((2 * bits - 1) * counts[:, None]).sum(axis=0)
+        out[i] = np.uint64(((acc > 0).astype(np.uint64) << bit_positions).sum())
+    return out
+
+
+def simhash_near_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
+                           max_hamming: int = 3, seed: int = 99,
+                           n_chunks: int | None = None):
+    """Near-dup pairs (pandas DataFrame: a, b, hamming) by simhash Hamming
+    distance <= max_hamming.
+
+    Pigeonhole bucketing on ``n_chunks`` bit-chunks: any pair within Hamming
+    ``n_chunks - 1`` shares at least one exact chunk, so recall is exact when
+    ``max_hamming < n_chunks`` (the default picks n_chunks accordingly,
+    capped at 16 x 4-bit chunks — beyond that bucket selectivity collapses
+    and candidate verification dominates).
+    """
+    from ..functions.phash import hamming_batch
+
+    if n_chunks is None:
+        n_chunks = max(4, min(16, max_hamming + 1))
+    width = 64 // n_chunks
+    mask = np.uint64((1 << width) - 1)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        sh = simhash_batch(batch[text_col].to_pylist(), seed=seed)
+        ids = batch[id_col].to_numpy()
+        n = len(ids)
+        chunk_ids = np.repeat(np.arange(n_chunks, dtype=np.int32), n)
+        chunks = np.concatenate(
+            [((sh >> np.uint64(width * c)) & mask).astype(np.int64) for c in range(n_chunks)]
+        )
+        return pa.table(
+            {
+                "chunk": chunk_ids,
+                "value": chunks,
+                id_col: np.tile(ids, n_chunks),
+                "simhash": np.tile(to_int64(sh), n_chunks),
+            }
+        )
+
+    def in_group_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) < 2:
+            return pd.DataFrame({"a": [], "b": [], "hamming": []}).astype(
+                {"a": np.int64, "b": np.int64, "hamming": np.int64}
+            )
+        df = df.sort_values(id_col)
+        ids = df[id_col].to_numpy()
+        sh = to_uint64(df["simhash"].to_numpy())
+        ai, bi = np.triu_indices(len(ids), k=1)
+        d = hamming_batch(sh[ai], sh[bi]).astype(np.int64)
+        keep = d <= max_hamming
+        return pd.DataFrame({"a": ids[ai][keep], "b": ids[bi][keep], "hamming": d[keep]})
+
+    pairs = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby(["chunk", "value"])
+        .map_groups(in_group_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    pairs = pairs.reindex(columns=["a", "b", "hamming"])
+    return (
+        pairs.drop_duplicates(["a", "b"])
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+        .astype({"a": np.int64, "b": np.int64, "hamming": np.int64})
+    )

@@ -1,0 +1,166 @@
+"""Text analysis, MinHash/SimHash near-dup, and ANN tests."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from logcrawler_ray.functions import text as T
+from logcrawler_ray.stages import ann
+from logcrawler_ray.stages.dedup_text import (
+    minhash_batch,
+    minhash_lsh_candidates,
+    simhash_batch,
+    simhash_near_dup_pairs,
+    verify_jaccard_pairs,
+)
+
+
+# ---------------------------------------------------------------- text fns
+def test_split_tokens_matches_duckdb_semantics():
+    import duckdb
+
+    con = duckdb.connect()
+    for s in ["a b c", "a  b", "", " lead", "trail "]:
+        sql = con.execute("select string_split(?, ' ')", [s]).fetchone()[0]
+        assert T.split_tokens(s) == sql
+
+
+def test_quality_score_ranges():
+    q = T.quality_score("The quick brown fox jumps over the lazy dog near a river bank today.")
+    assert 0 <= q["quality"] <= 1
+    assert q["stop_ratio"] > 0
+    junk = T.quality_score("!!! ??? ### $$$")
+    assert junk["quality"] < q["quality"]
+
+
+def test_lang_id_stopword_profiles():
+    assert T.lang_id("the cat and the dog of a house") == "en"
+    assert T.lang_id("der hund und die katze ist ein tier") == "de"
+    assert T.lang_id("le chat est un animal et la maison") == "fr"
+    assert T.lang_id("el perro y la casa es un animal") == "es"
+    assert T.lang_id("你好 世界") == "zh"
+
+
+def test_fingerprint_deterministic():
+    assert T.fingerprint("abc") == T.fingerprint("abc")
+    assert T.fingerprint("abc") != T.fingerprint("abd")
+
+
+def test_shingles_and_jaccard():
+    a = T.shingle_hashes("one two three four five", 3)
+    b = T.shingle_hashes("one two three four six", 3)
+    j = T.jaccard(a, b)
+    assert 0 < j < 1
+    assert T.jaccard(a, a) == 1.0
+
+
+# ---------------------------------------------------------------- minhash
+def test_minhash_estimates_jaccard():
+    rng = np.random.default_rng(0)
+    words = [f"w{i}" for i in range(100)]
+    d1 = " ".join(rng.choice(words, 80))
+    # 90% same prefix
+    d2 = d1[: int(len(d1) * 0.9)] + " zzz aaa bbb"
+    sigs = minhash_batch([d1, d2, " ".join(rng.choice(words, 80))], k=128)
+    est_close = (sigs[0] == sigs[1]).mean()
+    est_far = (sigs[0] == sigs[2]).mean()
+    true_j = T.jaccard(T.shingle_hashes(d1), T.shingle_hashes(d2))
+    assert abs(est_close - true_j) < 0.2
+    assert est_close > est_far
+
+
+def test_minhash_lsh_finds_planted_dup(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(1)
+    vocab = [f"tok{i}" for i in range(200)]
+    docs = [" ".join(rng.choice(vocab, 60)) for _ in range(30)]
+    docs.append(docs[0] + " tail")  # near-dup of doc 0
+    df = pd.DataFrame({"doc_id": np.arange(len(docs)), "text": docs})
+    ds = rd.from_pandas(df)
+    cands = minhash_lsh_candidates(ds, k=64, bands=16)
+    verified = verify_jaccard_pairs(ds, cands, threshold=0.5)
+    assert ((verified["a"] == 0) & (verified["b"] == 30)).any()
+
+
+def test_simhash_hamming_small_for_similar():
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 5
+    near = base + "iota"
+    far = "completely different words entirely other content here now then"
+    sh = simhash_batch([base, near, far])
+    from logcrawler_ray.functions.phash import hamming_batch
+
+    d_near = hamming_batch(sh[:1], sh[1:2])[0]
+    d_far = hamming_batch(sh[:1], sh[2:3])[0]
+    assert d_near < d_far
+
+
+def test_simhash_near_dup_pairs(ray_session):
+    import ray.data as rd
+
+    docs = ["red green blue yellow purple orange " * 4,
+            "red green blue yellow purple orange " * 4 + "extra",
+            "totally unrelated text about other things entirely different"]
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": [0, 1, 2], "text": docs}))
+    pairs = simhash_near_dup_pairs(ds, max_hamming=10)
+    assert ((pairs["a"] == 0) & (pairs["b"] == 1)).any()
+    assert not ((pairs["b"] == 2) | (pairs["a"] == 2)).any()
+
+
+# ---------------------------------------------------------------- ann
+@pytest.fixture(scope="module")
+def emb_df():
+    rng = np.random.default_rng(5)
+    m = rng.normal(size=(80, 16)).astype(np.float32)
+    m[7] = m[3] + 0.01 * rng.normal(size=16).astype(np.float32)  # planted near-dup
+    return pd.DataFrame({"vec_id": np.arange(80, dtype=np.int64),
+                         "embedding": [v.tolist() for v in m]})
+
+
+def brute_topk(df, qids, k=5):
+    m = np.stack([np.asarray(v, dtype=np.float64) for v in df["embedding"]])
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    rows = []
+    for q in qids:
+        sims = m[q] @ m.T
+        order = np.lexsort((df["vec_id"].to_numpy(), -sims))[:k]
+        for rank, idx in enumerate(order, 1):
+            rows.append((q, int(df["vec_id"].iloc[idx]), rank))
+    return pd.DataFrame(rows, columns=["q_id", "vec_id", "rank"])
+
+
+def test_topk_cosine_matches_bruteforce(ray_session, emb_df):
+    import ray.data as rd
+
+    ds = rd.from_pandas(emb_df).repartition(4)
+    qids = [0, 3]
+    qm = np.stack([np.asarray(emb_df["embedding"].iloc[q], dtype=np.float64) for q in qids])
+    got = ann.topk_cosine(ds, qm, np.array(qids), k=5)
+    expect = brute_topk(emb_df, qids, k=5)
+    pd.testing.assert_frame_equal(
+        got.sort_values(["q_id", "rank"]).reset_index(drop=True),
+        expect.sort_values(["q_id", "rank"]).reset_index(drop=True),
+    )
+
+
+def test_cosine_neardup_finds_planted(ray_session, emb_df):
+    import ray.data as rd
+
+    pairs = ann.cosine_neardup_pairs(rd.from_pandas(emb_df), threshold=0.95)
+    assert ((pairs["a"] == 3) & (pairs["b"] == 7)).any()
+
+
+def test_lsh_topk_high_recall(ray_session, emb_df):
+    import ray.data as rd
+
+    ds = rd.from_pandas(emb_df)
+    qids = [0, 3]
+    qm = np.stack([np.asarray(emb_df["embedding"].iloc[q], dtype=np.float64) for q in qids])
+    approx = ann.lsh_topk_cosine(ds, qm, np.array(qids), k=5, n_planes=10, probe_hamming=4)
+    exact = brute_topk(emb_df, qids, k=5)
+    # recall@5 of the approximate result vs exact
+    rec = len(set(map(tuple, approx[["q_id", "vec_id"]].values))
+              & set(map(tuple, exact[["q_id", "vec_id"]].values))) / len(exact)
+    assert rec >= 0.6
+    # self must always be found (hamming 0 bucket)
+    assert ((approx["q_id"] == 0) & (approx["vec_id"] == 0) & (approx["rank"] == 1)).any()
