@@ -1,0 +1,171 @@
+"""Benchmark driver. Prints ONE JSON line with the headline metric.
+
+Headline = the flagship fetch+decode pipeline (BASELINE.json metric:
+sustained fetch+decode throughput into the store):
+
+  1. ``ingest``  — corpus parquet -> DecodeStats actor pool -> phash dedup
+     -> atomic store commit (rows/s, MB/s);
+  2. ``crawl``   — full frontier crawl on the synthetic web (URLs/s);
+  3. spot queries from the driver contract (seconds each).
+
+Usage:
+  python bench.py                 # one process, $RAY_GRAFT_CPUS (default 32)
+  python bench.py --scaling       # fresh processes at 8 and 32 cpus,
+                                  # prints throughputs + scaling efficiency
+
+The corpus input is synthesized ONCE into /tmp (parallel, seed-fixed) and
+reused by every process so both scaling runs see identical input; an
+untimed warm read primes the page cache first.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_ROWS = int(os.environ.get("GRAFT_BENCH_ROWS", "6000"))
+SEED = 42
+CORPUS_CACHE = f"/tmp/graft_bench/corpus_n{BENCH_ROWS}_s{SEED}"
+
+
+def ensure_corpus() -> str:
+    from logcrawler_ray.sources.corpus import write_corpus_parquet
+
+    marker = os.path.join(CORPUS_CACHE, "_DONE")
+    if not os.path.exists(marker):
+        os.makedirs(CORPUS_CACHE, exist_ok=True)
+        write_corpus_parquet(CORPUS_CACHE, BENCH_ROWS, seed=SEED, batch_size=256)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return CORPUS_CACHE
+
+
+def bench_ingest() -> dict:
+    import shutil
+
+    import ray.data as rd
+
+    from logcrawler_ray.pipelines.ingest import ingest
+    from logcrawler_ray.sources.store import ImageStore
+
+    path = ensure_corpus()
+    # untimed warm read (page cache), also yields input size
+    warm = rd.read_parquet(path)
+    n_rows = warm.count()
+    in_bytes = sum(os.path.getsize(os.path.join(path, f)) for f in os.listdir(path)
+                   if f.endswith(".parquet"))
+
+    store_root = f"/tmp/graft_bench/store_{NUM_CPUS}_{time.time_ns()}"
+    t0 = time.perf_counter()
+    src = rd.read_parquet(path)
+    store = ImageStore(store_root)
+    ingest(src, store, pid="bench", concurrency=(2, max(2, NUM_CPUS - 4)),
+           batch_size=128, keep_bytes=True)
+    dt = time.perf_counter() - t0
+    written = store.rows("bench")
+    shutil.rmtree(store_root, ignore_errors=True)
+    return {"sec": round(dt, 3), "rows": n_rows, "rows_per_sec": round(n_rows / dt, 1),
+            "mb_per_sec": round(in_bytes / dt / 1e6, 1), "written": written}
+
+
+def bench_crawl() -> dict:
+    import shutil
+
+    from logcrawler_ray.pipelines.crawl import CrawlConfig, CrawlEngine
+
+    cfg = CrawlConfig(seed=SEED, n_hosts=48, pages_per_host=300, n_shards=8,
+                      wave_size=1024, max_depth=12, max_waves=6,
+                      fetch_concurrency=(2, max(2, NUM_CPUS // 2)),
+                      decode_concurrency=(2, max(2, NUM_CPUS // 2)),
+                      batch_size=64)
+    root = f"/tmp/graft_bench/crawl_{NUM_CPUS}_{time.time_ns()}"
+    eng = CrawlEngine(cfg, root + "/store", root + "/ckpt")
+    seeds = cfg.web().seed_urls(96)
+    t0 = time.perf_counter()
+    m = eng.run(seeds=seeds)
+    dt = time.perf_counter() - t0
+    shutil.rmtree(root, ignore_errors=True)
+    return {"sec": round(dt, 3), "urls": m["fetched"], "written": m["written"],
+            "urls_per_sec": round(m["fetched"] / dt, 1),
+            "rows_per_sec": round(m["written"] / dt, 1)}
+
+
+QUERY_SAMPLE = ["q01_pricing_summary", "q12_asof_click_purchase", "q17_top_tokens",
+                "q14_doc_dedup_exact", "q18_ann_topk"]
+
+
+def bench_queries() -> dict:
+    from logcrawler_ray import queries as q
+
+    out = {}
+    for name in QUERY_SAMPLE:
+        t0 = time.perf_counter()
+        res = q.QUERIES[name](SF_DIR)
+        if hasattr(res, "to_pandas"):
+            res.to_pandas() if not hasattr(res, "materialize") else res.materialize()
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def run_bench() -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    ingest = bench_ingest()
+    crawl = bench_crawl()
+    queries = bench_queries()
+    result = {
+        "metric": "fetch+decode throughput into store (headline: ingest sec)",
+        "value": ingest["sec"],
+        "unit": "sec",
+        "queries": {**queries, "crawl": crawl["sec"], "ingest": ingest["sec"]},
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "ingest": ingest,
+        "crawl": crawl,
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, __file__], env=env, capture_output=True,
+                             text=True, check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    one(8)  # warm: corpus synth + page cache, untimed
+    lo = one(8)
+    hi = one(32)
+    eff_ingest = (lo["ingest"]["sec"] / hi["ingest"]["sec"]) / (32 / 8)
+    eff_crawl = (lo["crawl"]["sec"] / hi["crawl"]["sec"]) / (32 / 8)
+    return {
+        "metric": "scaling efficiency 8->32 cpus (4x)",
+        "sec_8": lo["ingest"]["sec"], "sec_32": hi["ingest"]["sec"],
+        "rows_per_sec_8": lo["ingest"]["rows_per_sec"],
+        "rows_per_sec_32": hi["ingest"]["rows_per_sec"],
+        "urls_per_sec_8": lo["crawl"]["urls_per_sec"],
+        "urls_per_sec_32": hi["crawl"]["urls_per_sec"],
+        "scaling_efficiency_ingest": round(eff_ingest, 3),
+        "scaling_efficiency_crawl": round(eff_crawl, 3),
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -1,0 +1,292 @@
+"""CrawlEngine — the streaming URL-frontier pipeline (the north rule).
+
+Replaces the reference's outermost pattern — a sorted for-loop over log
+folders with per-log is_done count checks (reference:
+02_combine_logs.py:225-284, 06_extract_images.py:17-105, §4 of SURVEY.md)
+— with a real crawl scheduler executed in BSP waves:
+
+  wave k:
+    1. DRAIN  — each frontier shard pops up to B/n_shards entries in
+       (priority, next_fetch_time, seq) order, assigning politeness-budget
+       fetch times on a virtual ms clock (deterministic).
+    2. FETCH+DECODE — the drained rows become a ray.data Dataset;
+       map_batches(FetchWorker actor pool) fetches bytes+links,
+       map_batches(DecodeStats actor pool) decodes + stats + phash.
+       Errors flow to channels (fetch_ok/decode_ok), never crash the wave.
+    3. COMMIT — ok rows are appended to the ImageStore as partition
+       ``wave-k`` (atomic manifest; per-partition lineage = wave metrics).
+    4. ENQUEUE — discovered links, in (parent seq, link index) order:
+       canonicalize (M17 analog) -> robots filter (+ per-host crawl-delay
+       registration) -> sharded bloom+cuckoo add_if_new -> push to the
+       host's frontier shard. Ordered processing makes the seen-set
+       byte-identical to the serial reference executor.
+    5. CHECKPOINT — frontier+budget+seen+clock snapshot (atomic).
+
+  Crawl ordering := the concatenation over waves of drained rows sorted by
+  (priority, fetch_time, seq). tests/test_crawl.py asserts it equals the
+  serial executor's order, survives kill+resume, and that phash dedup of
+  the final table matches.
+
+Host-hash is the single partition key throughout: seen shard = frontier
+shard = budget shard = hash(host) % n_shards, so no cross-shard
+coordination ever happens (SURVEY.md §7.4).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.hashing import hash64_str, splitmix64
+from ..functions.urlnorm import canonicalize, host_hash, host_of
+from ..sources.hosts import SyntheticWeb
+from ..sources.store import ImageStore
+from ..stages.decode import DecodeStats
+from ..stages.fetch import FetchWorker
+from ..state.checkpoint import CheckpointDir
+from ..state.frontier import FrontierShard
+from ..state.politeness import HostBudget, RobotsCache
+from ..state.urlseen import SeenShard
+
+
+@dataclass
+class CrawlConfig:
+    seed: int = 42
+    n_hosts: int = 12
+    pages_per_host: int = 200
+    n_shards: int = 4
+    wave_size: int = 256          # max URLs fetched per wave (global)
+    horizon: int = 60_000         # ms beyond `now` a fetch may be scheduled
+    max_depth: int = 3
+    max_waves: int = 50
+    seen_capacity: int = 1 << 16  # per shard
+    fetch_concurrency: int | tuple = 4
+    decode_concurrency: int | tuple = 4
+    batch_size: int = 64
+    web_params: dict = field(default_factory=dict)
+
+    def web(self) -> SyntheticWeb:
+        return SyntheticWeb(seed=self.seed, n_hosts=self.n_hosts,
+                            pages_per_host=self.pages_per_host, **self.web_params)
+
+
+def url_priority(url: str, seed: int) -> int:
+    return int(splitmix64(np.uint64(hash64_str(url)) ^ np.uint64(seed)) % np.uint64(10))
+
+
+class CrawlState:
+    """Driver-side control plane: shard objects + robots + clock.
+
+    Plain Python so the serial reference executor shares it verbatim; the
+    Ray engine keeps the same objects on the driver (shard ops are O(wave)
+    and the heavy work — fetch/decode/write — runs in Ray). At true scale
+    the shards become the actor classes in state/* unchanged.
+    """
+
+    def __init__(self, cfg: CrawlConfig):
+        self.cfg = cfg
+        web = cfg.web()
+        self.frontiers = [FrontierShard(i, cfg.n_shards) for i in range(cfg.n_shards)]
+        self.budgets = [HostBudget() for _ in range(cfg.n_shards)]
+        self.seen = [SeenShard(cfg.seen_capacity, seed=cfg.seed + i)
+                     for i in range(cfg.n_shards)]
+        self.robots = RobotsCache(web.robots_txt)
+        self.now = 0
+        self.wave = -1
+        self.fetch_log: list[tuple] = []  # (wave, seq, url, fetch_time)
+
+    def shard_of(self, host: str) -> int:
+        return host_hash(host) % self.cfg.n_shards
+
+    # -- enqueue (ordered, deterministic) ---------------------------------
+    def enqueue(self, raw_urls: list[str], depths: list[int]) -> int:
+        """Canonicalize -> robots -> seen -> push. Returns count admitted.
+
+        Processes URLs one at a time IN ORDER — the order is part of the
+        engine's contract (seen-set equivalence)."""
+        admitted = 0
+        for url, depth in zip(raw_urls, depths):
+            cu = canonicalize(url)
+            host = host_of(cu)
+            path = cu.split(host, 1)[1] or "/"
+            rules = self.robots.rules(host)
+            if not rules.allowed(path):
+                continue
+            sh = self.shard_of(host)
+            if rules.crawl_delay_ms and host not in self.budgets[sh].delays:
+                self.budgets[sh].delays[host] = rules.crawl_delay_ms
+            key = self.seen[sh].url_keys([cu])
+            if not self.seen[sh].add_if_new(key)[0]:
+                continue
+            self.frontiers[sh].push([{
+                "url": cu, "host": host,
+                "priority": url_priority(cu, self.cfg.seed), "depth": depth,
+            }])
+            admitted += 1
+        return admitted
+
+    # -- drain ------------------------------------------------------------
+    def drain_wave(self) -> list[dict]:
+        per_shard = max(1, self.cfg.wave_size // self.cfg.n_shards)
+        emitted: list[dict] = []
+        new_now = self.now
+        for sh in range(self.cfg.n_shards):
+            rows, t = self.frontiers[sh].drain(
+                self.budgets[sh], self.now, per_shard, self.cfg.horizon)
+            emitted.extend(rows)
+            new_now = max(new_now, t)
+        self.now = new_now
+        emitted.sort(key=lambda r: (r["priority"], r["fetch_time"], r["seq"]))
+        return emitted
+
+    def frontier_size(self) -> int:
+        return sum(len(f) for f in self.frontiers)
+
+    # -- snapshot ---------------------------------------------------------
+    def state(self) -> dict:
+        return {
+            "now": self.now,
+            "wave": self.wave,
+            "frontiers": [f.state() for f in self.frontiers],
+            "budgets": [b.state() for b in self.budgets],
+            "seen": [s.state() for s in self.seen],
+            "fetch_log": list(self.fetch_log),
+        }
+
+    @classmethod
+    def from_state(cls, cfg: CrawlConfig, st: dict) -> "CrawlState":
+        obj = cls(cfg)
+        obj.now = st["now"]
+        obj.wave = st["wave"]
+        obj.frontiers = [FrontierShard.from_state(s) for s in st["frontiers"]]
+        obj.budgets = [HostBudget.from_state(s) for s in st["budgets"]]
+        obj.seen = [SeenShard.from_state(s) for s in st["seen"]]
+        obj.fetch_log = [tuple(t) for t in st["fetch_log"]]
+        return obj
+
+
+def _links_in_order(table: pa.Table) -> tuple[list[str], list[int]]:
+    """Flatten (seq, links, depth) -> link list ordered by (seq, idx)."""
+    seqs = table["seq"].to_pylist()
+    depths = table["depth"].to_pylist()
+    links_col = table["links"].to_pylist()
+    order = np.argsort(np.asarray(seqs, dtype=np.int64), kind="stable")
+    urls, ds = [], []
+    for i in order:
+        for link in links_col[i] or []:
+            urls.append(link)
+            ds.append(depths[i] + 1)
+    return urls, ds
+
+
+class CrawlEngine:
+    def __init__(self, cfg: CrawlConfig, store_root: str, ckpt_root: str):
+        self.cfg = cfg
+        self.store = ImageStore(store_root)
+        self.ckpt = CheckpointDir(ckpt_root)
+        self.state: CrawlState | None = None
+
+    # -- lifecycle --------------------------------------------------------
+    def start(self, seeds: list[dict]) -> None:
+        self.state = CrawlState(self.cfg)
+        self.state.enqueue([s["url"] for s in seeds], [s["depth"] for s in seeds])
+        self.ckpt.save(0, {"cfg_seed": self.cfg.seed, "state": self.state.state()})
+        self.state.wave = 0
+
+    def resume(self) -> bool:
+        latest = self.ckpt.latest()
+        if latest is None:
+            return False
+        wave, payload = latest
+        self.state = CrawlState.from_state(self.cfg, payload["state"])
+        self.state.wave = wave
+        return True
+
+    # -- one wave ---------------------------------------------------------
+    def run_wave(self) -> dict:
+        import ray.data as rd
+
+        st = self.state
+        wave_no = st.wave
+        emitted = st.drain_wave()
+        if not emitted:
+            return {"fetched": 0, "written": 0, "new_urls": 0, "done": True}
+
+        for r in emitted:
+            st.fetch_log.append((wave_no, r["seq"], r["url"], r["fetch_time"]))
+
+        in_table = pa.table({
+            "url": [r["url"] for r in emitted],
+            "host": [r["host"] for r in emitted],
+            "priority": pa.array([r["priority"] for r in emitted], pa.int32()),
+            "depth": pa.array([r["depth"] for r in emitted], pa.int32()),
+            "seq": pa.array([r["seq"] for r in emitted], pa.int64()),
+            "fetch_time": pa.array([r["fetch_time"] for r in emitted], pa.int64()),
+        })
+        ds = rd.from_arrow(in_table)
+        web_params = {"seed": self.cfg.seed, "n_hosts": self.cfg.n_hosts,
+                      "pages_per_host": self.cfg.pages_per_host, **self.cfg.web_params}
+        fetched = ds.map_batches(
+            FetchWorker, fn_constructor_kwargs={"web_params": web_params},
+            batch_format="pyarrow", batch_size=self.cfg.batch_size,
+            concurrency=self.cfg.fetch_concurrency,
+        )
+        decoded = fetched.map_batches(
+            lambda t: t.filter(t["fetch_ok"]), batch_format="pyarrow"
+        ).map_batches(
+            DecodeStats, fn_constructor_kwargs={"keep_bytes": True},
+            batch_format="pyarrow", batch_size=self.cfg.batch_size,
+            concurrency=self.cfg.decode_concurrency,
+        ).materialize()  # one wave — bounded by wave_size, safe to pin
+
+        # 3. COMMIT image rows (ok rows only; lineage in manifest meta)
+        ok_rows = decoded.map_batches(
+            lambda t: t.filter(t["decode_ok"]).drop_columns(["links", "fetch_ok", "decode_ok"]),
+            batch_format="pyarrow")
+        pid = f"wave-{wave_no:06d}"
+        n_written = self.store.append_dataset(pid, ok_rows, meta={
+            "wave": wave_no, "fetched": len(emitted), "virtual_now": st.now,
+        })
+
+        # 4. ENQUEUE discovered links in deterministic order (driver-side:
+        # only (seq, depth, links) columns leave the cluster)
+        link_batches = list(
+            decoded.select_columns(["seq", "depth", "links"])
+            .iter_batches(batch_size=4096, batch_format="pyarrow")
+        )
+        urls, depths = ([], [])
+        if link_batches:
+            urls, depths = _links_in_order(pa.concat_tables(link_batches))
+        new_urls = 0
+        if urls:
+            keep = [i for i, d in enumerate(depths) if d <= self.cfg.max_depth]
+            new_urls = st.enqueue([urls[i] for i in keep], [depths[i] for i in keep])
+
+        # 5. CHECKPOINT
+        st.wave = wave_no + 1
+        self.ckpt.save(st.wave, {"cfg_seed": self.cfg.seed, "state": st.state()})
+        return {"fetched": len(emitted), "written": n_written, "new_urls": new_urls,
+                "done": False}
+
+    def run(self, seeds: list[dict] | None = None, max_waves: int | None = None) -> dict:
+        """Fresh run (seeds given) or resume (seeds None). Returns metrics."""
+        if seeds is not None:
+            self.start(seeds)
+        elif not self.resume():
+            raise RuntimeError("no checkpoint to resume from; pass seeds")
+        waves = 0
+        totals = {"fetched": 0, "written": 0, "new_urls": 0}
+        limit = max_waves if max_waves is not None else self.cfg.max_waves
+        while waves < limit:
+            m = self.run_wave()
+            if m.get("done"):
+                break
+            for k in totals:
+                totals[k] += m[k]
+            waves += 1
+        totals["waves"] = waves
+        totals["frontier_left"] = self.state.frontier_size()
+        totals["seen"] = sum(s.size for s in self.state.seen)
+        return totals
