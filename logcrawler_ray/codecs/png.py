@@ -53,6 +53,16 @@ def encode(rgb: np.ndarray, text: dict[str, str] | None = None) -> bytes:
 def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
     rows = raw.reshape(h, stride + 1)
     ftypes = rows[:, 0]
+    if not ftypes.any():  # all filter 0 (our own encoder) -> zero work
+        return np.ascontiguousarray(rows[:, 1:])
+    if (ftypes <= 2).all() and 1 not in ftypes:  # only None/Up -> cumsum
+        data = rows[:, 1:].astype(np.uint16)
+        out = np.empty((h, stride), dtype=np.uint8)
+        acc = np.zeros(stride, dtype=np.uint16)
+        for i in range(h):
+            acc = (data[i] + (acc if ftypes[i] == 2 else 0)) & 0xFF
+            out[i] = acc
+        return out
     data = rows[:, 1:].astype(np.int16)
     out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int16)

@@ -46,16 +46,26 @@ def yuv422_to_ycbcr(data: bytes | np.ndarray, w: int, h: int) -> np.ndarray:
 
 
 def ycbcr_to_rgb(ycbcr: np.ndarray) -> np.ndarray:
-    """(h, w, 3) uint8 YCbCr -> (h, w, 3) uint8 RGB, full-range JPEG matrix."""
+    """(h, w, 3) uint8 YCbCr -> (h, w, 3) uint8 RGB, full-range JPEG matrix.
+
+    In-place float32 pipeline (round + clip reuse the same buffer)."""
     arr = ycbcr.astype(np.float32)
     y = arr[..., 0]
-    cb = arr[..., 1] - 128.0
-    cr = arr[..., 2] - 128.0
+    cb = arr[..., 1]
+    cb -= 128.0
+    cr = arr[..., 2]
+    cr -= 128.0
     rgb = np.empty_like(arr)
-    rgb[..., 0] = y + _R_CR * cr
-    rgb[..., 1] = y + _G_CB * cb + _G_CR * cr
-    rgb[..., 2] = y + _B_CB * cb
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    np.multiply(cr, _R_CR, out=rgb[..., 0])
+    rgb[..., 0] += y
+    np.multiply(cb, _G_CB, out=rgb[..., 1])
+    rgb[..., 1] += _G_CR * cr
+    rgb[..., 1] += y
+    np.multiply(cb, _B_CB, out=rgb[..., 2])
+    rgb[..., 2] += y
+    np.round(rgb, out=rgb)
+    np.clip(rgb, 0, 255, out=rgb)
+    return rgb.astype(np.uint8)
 
 
 def rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:

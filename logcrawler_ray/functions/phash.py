@@ -58,14 +58,20 @@ def area_resize(gray: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
 
 def phash_batch(rgb: np.ndarray) -> np.ndarray:
     """(N, h, w, 3) uint8 RGB -> (N,) uint64 phash."""
-    gray = grayscale(rgb)
+    return phash_from_gray(grayscale(rgb))
+
+
+def phash_from_gray(gray: np.ndarray) -> np.ndarray:
+    """(N, h, w) float luma -> (N,) uint64 phash (reuses a precomputed
+    grayscale so decode stages run luma extraction once per batch)."""
+    n = len(gray)
     small = area_resize(gray, _N, _N).astype(np.float64)
     freq = _DCT @ small @ _DCT_T  # (N, 32, 32)
-    block = freq[:, :_K, :_K].reshape(len(rgb), _K * _K)
+    block = freq[:, :_K, :_K].reshape(n, _K * _K)
     coeffs = block[:, 1:]  # drop DC
     med = np.median(coeffs, axis=1, keepdims=True)
     bits = (coeffs > med).astype(np.uint64)
-    padded = np.concatenate([np.zeros((len(rgb), 1), dtype=np.uint64), bits], axis=1)
+    padded = np.concatenate([np.zeros((n, 1), dtype=np.uint64), bits], axis=1)
     return (padded * _BITS).sum(axis=1, dtype=np.uint64)
 
 

@@ -682,6 +682,100 @@ def q25_corpus_ingest(sf_dir: str):
     return out.sort_values("image_id").reset_index(drop=True)
 
 
+@_q(
+    "q27_closest_event",
+    """
+    SELECT c.event_id, c.user_id,
+           COALESCE((SELECT p.event_id FROM events p
+                     WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+                     ORDER BY abs(epoch_us(c.ts) - epoch_us(p.ts)), p.event_id
+                     LIMIT 1), -1) AS closest_purchase_id
+    FROM events c WHERE c.event_type = 'click'
+    """,
+)
+def q27_closest_event(sf_dir: str):
+    """The reference's bidirectional closest-frame rule (J4,
+    14_calculate_closest_frames.py:38-83): nearest |dt|, tie -> smaller id.
+    Oracle: correlated DuckDB subquery with the same ORDER BY."""
+    from .stages.asof import closest_rows
+
+    def prep(t: pa.Table, keep_id: bool) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64())
+        cols = {"log_id": t["user_id"], "frame_id": t["event_id"], "frame_time": us}
+        return pa.table(cols)
+
+    clicks = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"],
+                   filter=(pc.field("event_type") == "click")).map_batches(
+        lambda t: prep(t, True), batch_format="pyarrow")
+    purchases = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"],
+                      filter=(pc.field("event_type") == "purchase")).map_batches(
+        lambda t: prep(t, False), batch_format="pyarrow")
+    out = closest_rows(clicks, purchases, by="log_id", time_col="frame_time",
+                       id_col="frame_id", out_col="closest_purchase_id").to_pandas()
+    out = out.rename(columns={"log_id": "user_id", "frame_id": "event_id"})
+    return out[["event_id", "user_id", "closest_purchase_id"]].astype(np.int64)
+
+
+def _f5_fixture_bytes(log_no: int) -> bytes:
+    """Deterministic F5 binary log (clean/torn/missing-FrameInfo variants)."""
+    from .sources.naoth import write_records
+
+    rng = np.random.default_rng(1000 + log_no)
+    frames = []
+    for fn in range(1, 20):
+        fields = [("FrameInfo", bytes(rng.integers(0, 256, 4, dtype=np.uint8)))]
+        if fn % 2 == 0:
+            fields.append(("Image", bytes(rng.integers(0, 256, 32, dtype=np.uint8))))
+        if fn % 3 == 0:
+            fields.append(("BallCandidates", b"bc" * fn))
+        if log_no == 2 and fn == 11:
+            fields = fields[1:]  # drop FrameInfo -> prefix truncation point
+        frames.append((fn, fields))
+    data = write_records(frames)
+    if log_no == 1:
+        data = data[:-3]  # torn tail -> drop last frame
+    return data
+
+
+@_q("q28_naoth_scan")
+def q28_naoth_scan(sf_dir: str):
+    """Binary log scan (S2) over deterministic F5 fixtures, incl. torn-tail
+    and prefix-truncation semantics. Rows-only (binary format, no SQL)."""
+    from .sources.naoth import scan_records, truncate_at_missing_frameinfo
+
+    tables = []
+    for log_no in range(3):
+        idx = truncate_at_missing_frameinfo(scan_records(_f5_fixture_bytes(log_no)))
+        tables.append(idx.append_column("log_no", pa.array([log_no] * idx.num_rows)))
+    return pa.concat_tables(tables)
+
+
+@_q("q29_behavior_stream")
+def q29_behavior_stream(sf_dir: str):
+    """Keyframe+delta ordered-state decoding (§2.8 / F7). Rows-only."""
+    import ray.data as rd
+
+    from .stages.behavior import decode_behavior
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for log in range(4):
+        for seq in range(25):
+            if seq % 8 == 0:
+                rows.append({"log_id": log, "seq": seq, "kind": "complete",
+                             "ids": [1, 2, 3], "names": ["x", "y", "z"],
+                             "values": [float(seq), 0.0, -1.0]})
+            else:
+                ids = rng.choice([1, 2, 3], size=int(rng.integers(1, 3)),
+                                 replace=False)
+                rows.append({"log_id": log, "seq": seq, "kind": "sparse",
+                             "ids": [int(i) for i in ids], "names": [],
+                             "values": [round(float(v), 3) for v in
+                                        rng.normal(size=len(ids))]})
+    out = decode_behavior(rd.from_items(rows)).to_pandas()
+    return out.sort_values(["log_id", "seq", "symbol"]).reset_index(drop=True)
+
+
 @_q("q26_ann_lsh")
 def q26_ann_lsh(sf_dir: str):
     """LSH-bucketed approximate top-k (scale path of q18); rows-only."""

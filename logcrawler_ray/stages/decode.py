@@ -25,7 +25,7 @@ import pyarrow as pa
 
 from ..codecs import registry
 from ..functions.image_stats import blurredness_batch, brightness_batch
-from ..functions.phash import grayscale, phash_batch
+from ..functions.phash import grayscale, phash_from_gray
 from ..functions.hashing import to_int64
 
 
@@ -67,8 +67,8 @@ class DecodeStats:
             for s in np.unique(sizes):
                 rows = good[sizes == s]
                 stack = np.stack([decoded[i] for i in rows])
-                gray = grayscale(stack)
-                phash[rows] = phash_batch(stack)
+                gray = grayscale(stack)  # float32, computed ONCE per group
+                phash[rows] = phash_from_gray(gray)
                 bright[rows] = brightness_batch(gray)
                 blur[rows] = blurredness_batch(gray)
 

@@ -1,0 +1,89 @@
+"""Frame-number joins (SURVEY.md §2.4 J1/J2/J3) and representation stats.
+
+- ``frame_join``: per-log hash join of game frames to an image index on
+  frame_number. ``how="inner"`` drops frames without images — the
+  combined.log rule "only write frames which have corresponding images"
+  (reference: 02_combine_logs.py:118-136); ``how="left"`` keeps them, the
+  images_jpeg variant (02_combine_logs.py:165-190). Implemented as the
+  tag-union-cogroup pattern: one shuffle on log_id, pandas merge inside.
+
+- ``broadcast_lookup``: the frame_number -> frame_id dict probe
+  (07_input_cognition_data_rust.py:119-124, 12_input_images.py:39-59) as a
+  broadcast ray.put map. ``miss`` policy: "null" (07's None) or "error"
+  (12 quits; here the row goes to an error-channel column instead).
+
+- ``representation_stats``: per-log distinct representation names + counts
+  of non-empty payloads (src/lib.rs:43-81 A1/A2) as one groupby.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def frame_join(game_ds, image_ds, how: str = "inner", by: str = "log_id",
+               on: str = "frame_number"):
+    """Join image-index rows onto game-frame rows per log. Image columns
+    arrive suffixed ``_img``; inner drops game frames with no image."""
+    if how not in ("inner", "left"):
+        raise ValueError(how)
+
+    tag_g = game_ds.map_batches(
+        lambda t: t.append_column("__side", pa.array(np.zeros(t.num_rows, np.int8))),
+        batch_format="pyarrow")
+    tag_i = image_ds.map_batches(
+        lambda t: t.append_column("__side", pa.array(np.ones(t.num_rows, np.int8))),
+        batch_format="pyarrow")
+
+    def per_log(df: pd.DataFrame) -> pd.DataFrame:
+        game = df[df["__side"] == 0].drop(columns="__side").dropna(axis=1, how="all")
+        img = df[df["__side"] == 1].drop(columns="__side").dropna(axis=1, how="all")
+        if img.empty:
+            if how == "inner":
+                return game.iloc[0:0]
+            merged = game.copy()
+            return merged
+        merged = game.merge(img.drop(columns=[by]), on=on, how=how,
+                            suffixes=("", "_img"))
+        return merged
+
+    return tag_g.union(tag_i).groupby(by).map_groups(per_log, batch_format="pandas")
+
+
+def broadcast_lookup(ds, mapping: dict, key: str, out_col: str, miss: str = "null"):
+    """Broadcast dict probe: adds ``out_col``; misses -> null (07's policy)
+    or flagged via ``{out_col}_ok`` = False (12's quit() becomes a channel)."""
+    import ray
+
+    ref = ray.put(mapping)
+
+    def probe(t: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        keys = t[key].to_pylist()
+        vals = [m.get(k) for k in keys]
+        t = t.append_column(out_col, pa.array(vals))
+        if miss == "error":
+            t = t.append_column(f"{out_col}_ok", pa.array([v is not None for v in vals]))
+        return t
+
+    return ds.map_batches(probe, batch_format="pyarrow")
+
+
+def representation_stats(index_ds, by: str = "log_path"):
+    """(log, name) -> frames-with-payload count (size>0) + total count —
+    the A1/A2 aggregates of src/lib.rs:43-81, partial-aggregated per batch."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.select([by, "name", "size"]).to_pandas()
+        df["non_empty"] = (df["size"] > 0).astype(np.int64)
+        df["n"] = 1
+        g = df.groupby([by, "name"], as_index=False)[["non_empty", "n"]].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (index_ds.map_batches(partial, batch_format="pyarrow")
+            .groupby([by, "name"])
+            .aggregate(Sum("non_empty", alias_name="non_empty"),
+                       Sum("n", alias_name="n")))
