@@ -65,6 +65,12 @@ class CrawlConfig:
     fetch_concurrency: int | tuple = 4
     decode_concurrency: int | tuple = 4
     batch_size: int = 64
+    # Actor pools are per-Dataset-execution in Ray Data, so a BSP loop pays
+    # pool startup (~2 s) EVERY wave. With cheap per-actor state (the
+    # synthetic backend) stateless tasks win ~5x; set True when fetch state
+    # is expensive (real HTTP sessions, models) and size waves accordingly.
+    use_actors: bool = False
+    wave_blocks: int = 16  # blocks per wave Dataset (intra-wave parallelism)
     web_params: dict = field(default_factory=dict)
 
     def web(self) -> SyntheticWeb:
@@ -225,21 +231,40 @@ class CrawlEngine:
             "seq": pa.array([r["seq"] for r in emitted], pa.int64()),
             "fetch_time": pa.array([r["fetch_time"] for r in emitted], pa.int64()),
         })
-        ds = rd.from_arrow(in_table)
+        # split the wave into blocks so fetch/decode parallelize within it
+        nb = max(1, min(self.cfg.wave_blocks, in_table.num_rows))
+        step = -(-in_table.num_rows // nb)
+        chunks = [in_table.slice(i * step, step) for i in range(nb)
+                  if i * step < in_table.num_rows]
+        ds = rd.from_arrow(chunks)
         web_params = {"seed": self.cfg.seed, "n_hosts": self.cfg.n_hosts,
                       "pages_per_host": self.cfg.pages_per_host, **self.cfg.web_params}
-        fetched = ds.map_batches(
-            FetchWorker, fn_constructor_kwargs={"web_params": web_params},
-            batch_format="pyarrow", batch_size=self.cfg.batch_size,
-            concurrency=self.cfg.fetch_concurrency,
-        )
+        if self.cfg.use_actors:
+            fetched = ds.map_batches(
+                FetchWorker, fn_constructor_kwargs={"web_params": web_params},
+                batch_format="pyarrow", batch_size=self.cfg.batch_size,
+                concurrency=self.cfg.fetch_concurrency,
+            )
+        else:
+            fetched = ds.map_batches(
+                FetchWorker(web_params=web_params), batch_format="pyarrow",
+                batch_size=self.cfg.batch_size,
+            )
         decoded = fetched.map_batches(
             lambda t: t.filter(t["fetch_ok"]), batch_format="pyarrow"
-        ).map_batches(
-            DecodeStats, fn_constructor_kwargs={"keep_bytes": True},
-            batch_format="pyarrow", batch_size=self.cfg.batch_size,
-            concurrency=self.cfg.decode_concurrency,
-        ).materialize()  # one wave — bounded by wave_size, safe to pin
+        )
+        if self.cfg.use_actors:
+            decoded = decoded.map_batches(
+                DecodeStats, fn_constructor_kwargs={"keep_bytes": True},
+                batch_format="pyarrow", batch_size=self.cfg.batch_size,
+                concurrency=self.cfg.decode_concurrency,
+            )
+        else:
+            decoded = decoded.map_batches(
+                DecodeStats(keep_bytes=True), batch_format="pyarrow",
+                batch_size=self.cfg.batch_size,
+            )
+        decoded = decoded.materialize()  # one wave — bounded by wave_size
 
         # 3. COMMIT image rows (ok rows only; lineage in manifest meta)
         ok_rows = decoded.map_batches(

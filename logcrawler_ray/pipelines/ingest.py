@@ -58,20 +58,53 @@ def ingest(source_ds, store: ImageStore | None = None, pid: str = "ingest", *,
            concurrency: int | tuple[int, int] = 4, batch_size: int = 64,
            dedup: bool = True, n_buckets: int = DEFAULT_BUCKETS,
            keep_bytes: bool = True):
-    """Run the flagship pipeline; returns the final Dataset (lazy if store=None).
+    """Run the flagship pipeline; returns the final Dataset.
 
-    With a store, the result is committed as one atomic partition ``pid`` and
-    re-running with the same pid is a no-op (resume semantics) — the
-    reference's count-ledger ``is_done`` check (07:28-42) as a manifest stat.
+    With a store, the pipeline is TWO streaming passes, neither of which
+    re-decodes or materializes the corpus:
+
+      1. decode -> append raw partition ``{pid}-raw`` (atomic);
+      2. losers from a column-pruned (phash, image_id) re-read of that raw
+         partition (16 bytes/row leaves storage, not the payloads) ->
+         broadcast anti-filter -> final partition ``pid``.
+
+    Both partitions are is_done-guarded, so a rerun (or a crash between the
+    passes) resumes exactly — the reference's count-ledger idempotency
+    (07:28-42) as manifest stats.
+
+    Without a store (smoke/tests), the decoded wave is materialized once in
+    the object store before the dedup passes — small inputs only.
     """
     if store is not None and store.is_done(pid):
         return store.read_dataset(pid)
-    ds = decode_pipeline(source_ds, concurrency=concurrency, batch_size=batch_size,
-                         keep_bytes=keep_bytes)
-    ds = add_bucket(ds, n_buckets)
-    if dedup:
-        ds = dedup_exact(ds, key="phash", order_col="image_id")
-    if store is not None:
-        store.append_dataset(pid, ds, meta={"pipeline": "ingest"})
+
+    if store is None:
+        ds = decode_pipeline(source_ds, concurrency=concurrency, batch_size=batch_size,
+                             keep_bytes=keep_bytes)
+        ds = add_bucket(ds, n_buckets)
+        if dedup:
+            ds = ds.materialize()
+            ds = dedup_exact(ds, key="phash", order_col="image_id")
+        return ds
+
+    raw_pid = f"{pid}-raw"
+    if not store.is_done(raw_pid):
+        ds = decode_pipeline(source_ds, concurrency=concurrency, batch_size=batch_size,
+                             keep_bytes=keep_bytes)
+        ds = add_bucket(ds, n_buckets)
+        if not dedup:
+            store.append_dataset(pid, ds, meta={"pipeline": "ingest"})
+            return store.read_dataset(pid)
+        store.append_dataset(raw_pid, ds, meta={"pipeline": "ingest", "stage": "raw"})
+    elif not dedup:
         return store.read_dataset(pid)
-    return ds
+
+    from ..stages.dedup import anti_filter_fn, exact_losers
+    import ray
+
+    skinny = store.read_dataset(raw_pid, columns=["phash", "image_id"])
+    losers = exact_losers(skinny, "phash", "image_id")
+    filtered = store.read_dataset(raw_pid).map_batches(
+        anti_filter_fn(ray.put(losers), "image_id"), batch_format="pyarrow")
+    store.append_dataset(pid, filtered, meta={"pipeline": "ingest", "stage": "dedup"})
+    return store.read_dataset(pid)

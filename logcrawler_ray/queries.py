@@ -776,6 +776,32 @@ def q29_behavior_stream(sf_dir: str):
     return out.sort_values(["log_id", "seq", "symbol"]).reset_index(drop=True)
 
 
+@_q("q30_crawl")
+def q30_crawl(sf_dir: str):
+    """The full crawl engine, deterministically: frontier + politeness +
+    bloom/cuckoo seen + fetch/decode + per-wave store commits, on the
+    synthetic web. Output = the crawl's fetch log (wave, seq, url,
+    fetch_time) — a pure function of the seed, so the rows-only check
+    pins ordering, politeness and seen-filter behavior. Rows-only."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from .pipelines.crawl import CrawlConfig, CrawlEngine
+
+    cfg = CrawlConfig(seed=42, n_hosts=6, pages_per_host=40, n_shards=4,
+                      wave_size=48, max_depth=3, max_waves=3, batch_size=32)
+    root = tempfile.mkdtemp(prefix="q30_crawl_")
+    try:
+        eng = CrawlEngine(cfg, root + "/store", root + "/ckpt")
+        eng.run(seeds=cfg.web().seed_urls(12))
+        log = eng.state.fetch_log
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return pd.DataFrame(log, columns=["wave", "seq", "url", "fetch_time"])
+
+
 @_q("q26_ann_lsh")
 def q26_ann_lsh(sf_dir: str):
     """LSH-bucketed approximate top-k (scale path of q18); rows-only."""

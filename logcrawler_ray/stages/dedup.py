@@ -45,26 +45,44 @@ def _losers_dataset(ds, key: str, order_col: str):
     )
 
 
-def dedup_exact(ds, key: str = "phash", order_col: str = "image_id",
-                max_broadcast: int = DEFAULT_MAX_BROADCAST):
-    """First-wins exact dedup on ``key``; returns the deduplicated Dataset."""
+def exact_losers(skinny_ds, key: str, order_col: str) -> frozenset:
+    """Skinny (key, order) dataset -> set of order_col values to DROP."""
+    rows = _losers_dataset(skinny_ds, key, order_col).take_all()
+    return frozenset(r[order_col] for r in rows)
+
+
+def anti_filter_fn(loser_ref, order_col: str):
+    """map_batches fn dropping rows whose order_col is in the broadcast set."""
     import ray
 
-    losers = _losers_dataset(ds, key, order_col)
-    loser_rows = losers.take_all()  # small: duplicate fraction of skinny rows
-    if len(loser_rows) <= max_broadcast:
-        loser_ids = frozenset(r[order_col] for r in loser_rows)
-        ref = ray.put(loser_ids)
+    def anti_filter(batch: pa.Table) -> pa.Table:
+        drop = ray.get(loser_ref)
+        if not drop:
+            return batch
+        col = batch[order_col].to_pylist()
+        mask = np.fromiter((v not in drop for v in col), dtype=bool, count=len(col))
+        return batch.filter(pa.array(mask))
 
-        def anti_filter(batch: pa.Table) -> pa.Table:
-            drop = ray.get(ref)
-            if not drop:
-                return batch
-            col = batch[order_col].to_pylist()
-            mask = np.fromiter((v not in drop for v in col), dtype=bool, count=len(col))
-            return batch.filter(pa.array(mask))
+    return anti_filter
 
-        return ds.map_batches(anti_filter, batch_format="pyarrow")
+
+def dedup_exact(ds, key: str = "phash", order_col: str = "image_id",
+                max_broadcast: int = DEFAULT_MAX_BROADCAST, skinny_ds=None):
+    """First-wins exact dedup on ``key``; returns the deduplicated Dataset.
+
+    IMPORTANT execution shape: the losers pass CONSUMES a dataset. If
+    ``ds`` is an expensive lazy pipeline (a decode stage), pass
+    ``skinny_ds`` — a cheap source of the same (key, order_col) pairs, e.g.
+    a column-pruned read of the just-written raw partition — or pass a
+    materialized ``ds``; otherwise the whole upstream pipeline executes
+    TWICE (once for losers, once for the filtered output).
+    """
+    import ray
+
+    losers = exact_losers(skinny_ds if skinny_ds is not None else ds, key, order_col)
+    if len(losers) <= max_broadcast:
+        ref = ray.put(losers)
+        return ds.map_batches(anti_filter_fn(ref, order_col), batch_format="pyarrow")
 
     # fallback: full-row groupby (one all-to-all on the key)
     def first(group: pd.DataFrame) -> pd.DataFrame:
