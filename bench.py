@@ -64,7 +64,9 @@ def bench_ingest() -> dict:
     t0 = time.perf_counter()
     src = rd.read_parquet(path)
     store = ImageStore(store_root)
-    ingest(src, store, pid="bench", concurrency=(2, max(2, NUM_CPUS - 4)),
+    # fixed-size actor pool: autoscaling (min,max) pools ramp too slowly to
+    # matter within one bench run
+    ingest(src, store, pid="bench", concurrency=max(2, NUM_CPUS * 3 // 4),
            batch_size=128, keep_bytes=True)
     dt = time.perf_counter() - t0
     written = store.rows("bench")

@@ -46,9 +46,6 @@ from ..sources.store import ImageStore
 from ..stages.decode import DecodeStats
 from ..stages.fetch import FetchWorker
 from ..state.checkpoint import CheckpointDir
-from ..state.frontier import FrontierShard
-from ..state.politeness import HostBudget, RobotsCache
-from ..state.urlseen import SeenShard
 
 
 @dataclass
@@ -70,6 +67,9 @@ class CrawlConfig:
     # synthetic backend) stateless tasks win ~5x; set True when fetch state
     # is expensive (real HTTP sessions, models) and size waves accordingly.
     use_actors: bool = False
+    # shard actors parallelize per-wave enqueue/drain across shards; the
+    # serial reference executor always runs shards in-process
+    use_shard_actors: bool = True
     wave_blocks: int = 16  # blocks per wave Dataset (intra-wave parallelism)
     web_params: dict = field(default_factory=dict)
 
@@ -83,64 +83,74 @@ def url_priority(url: str, seed: int) -> int:
 
 
 class CrawlState:
-    """Driver-side control plane: shard objects + robots + clock.
+    """Control plane: one CrawlShard per host-hash shard + clock + log.
 
-    Plain Python so the serial reference executor shares it verbatim; the
-    Ray engine keeps the same objects on the driver (shard ops are O(wave)
-    and the heavy work — fetch/decode/write — runs in Ray). At true scale
-    the shards become the actor classes in state/* unchanged.
+    Two execution modes with IDENTICAL state evolution (see state/shard.py
+    for the equivalence argument):
+    - ``use_actors=False``: plain CrawlShard objects, serial calls — the
+      mode the reference executor shares;
+    - ``use_actors=True``: one Ray actor per shard; wave enqueue/drain fan
+      out across shards in parallel (the real control-plane shape —
+      driver-side enqueue is the Amdahl term otherwise).
     """
 
-    def __init__(self, cfg: CrawlConfig):
+    def __init__(self, cfg: CrawlConfig, use_actors: bool = False):
         self.cfg = cfg
+        self.use_actors = use_actors
         web = cfg.web()
-        self.frontiers = [FrontierShard(i, cfg.n_shards) for i in range(cfg.n_shards)]
-        self.budgets = [HostBudget() for _ in range(cfg.n_shards)]
-        self.seen = [SeenShard(cfg.seen_capacity, seed=cfg.seed + i)
-                     for i in range(cfg.n_shards)]
-        self.robots = RobotsCache(web.robots_txt)
+        if use_actors:
+            from ..state.shard import make_shard_actor_cls
+
+            Actor = make_shard_actor_cls()
+            self.shards = [
+                Actor.remote(i, cfg.n_shards, cfg.seen_capacity, cfg.seed, web.robots_txt)
+                for i in range(cfg.n_shards)
+            ]
+        else:
+            from ..state.shard import CrawlShard
+
+            self.shards = [
+                CrawlShard(i, cfg.n_shards, cfg.seen_capacity, cfg.seed, web.robots_txt)
+                for i in range(cfg.n_shards)
+            ]
         self.now = 0
         self.wave = -1
         self.fetch_log: list[tuple] = []  # (wave, seq, url, fetch_time)
 
+    def _call(self, method: str, args_per_shard: list[tuple]) -> list:
+        if self.use_actors:
+            import ray
+
+            return ray.get([getattr(s, method).remote(*a)
+                            for s, a in zip(self.shards, args_per_shard)])
+        return [getattr(s, method)(*a) for s, a in zip(self.shards, args_per_shard)]
+
     def shard_of(self, host: str) -> int:
         return host_hash(host) % self.cfg.n_shards
 
-    # -- enqueue (ordered, deterministic) ---------------------------------
+    # -- enqueue (ordered per shard, deterministic) -----------------------
     def enqueue(self, raw_urls: list[str], depths: list[int]) -> int:
-        """Canonicalize -> robots -> seen -> push. Returns count admitted.
-
-        Processes URLs one at a time IN ORDER — the order is part of the
-        engine's contract (seen-set equivalence)."""
-        admitted = 0
+        """Canonicalize + route to shards (per-shard relative order
+        preserved — that order is the engine contract), then the shards
+        apply robots -> seen -> push, in parallel in actor mode."""
+        per_shard: list[list[tuple]] = [[] for _ in self.shards]
         for url, depth in zip(raw_urls, depths):
             cu = canonicalize(url)
             host = host_of(cu)
             path = cu.split(host, 1)[1] or "/"
-            rules = self.robots.rules(host)
-            if not rules.allowed(path):
-                continue
-            sh = self.shard_of(host)
-            if rules.crawl_delay_ms and host not in self.budgets[sh].delays:
-                self.budgets[sh].delays[host] = rules.crawl_delay_ms
-            key = self.seen[sh].url_keys([cu])
-            if not self.seen[sh].add_if_new(key)[0]:
-                continue
-            self.frontiers[sh].push([{
-                "url": cu, "host": host,
-                "priority": url_priority(cu, self.cfg.seed), "depth": depth,
-            }])
-            admitted += 1
-        return admitted
+            per_shard[self.shard_of(host)].append(
+                (cu, host, path, depth, url_priority(cu, self.cfg.seed)))
+        counts = self._call("enqueue_batch", [(b,) for b in per_shard])
+        return sum(counts)
 
     # -- drain ------------------------------------------------------------
     def drain_wave(self) -> list[dict]:
         per_shard = max(1, self.cfg.wave_size // self.cfg.n_shards)
+        results = self._call(
+            "drain", [(self.now, per_shard, self.cfg.horizon)] * len(self.shards))
         emitted: list[dict] = []
         new_now = self.now
-        for sh in range(self.cfg.n_shards):
-            rows, t = self.frontiers[sh].drain(
-                self.budgets[sh], self.now, per_shard, self.cfg.horizon)
+        for rows, t in results:
             emitted.extend(rows)
             new_now = max(new_now, t)
         self.now = new_now
@@ -148,27 +158,30 @@ class CrawlState:
         return emitted
 
     def frontier_size(self) -> int:
-        return sum(len(f) for f in self.frontiers)
+        return sum(self._call("size", [()] * len(self.shards)))
+
+    def seen_size(self) -> int:
+        return sum(self._call("seen_size", [()] * len(self.shards)))
+
+    def seen_tables(self) -> list:
+        return self._call("cuckoo_table", [()] * len(self.shards))
 
     # -- snapshot ---------------------------------------------------------
     def state(self) -> dict:
         return {
             "now": self.now,
             "wave": self.wave,
-            "frontiers": [f.state() for f in self.frontiers],
-            "budgets": [b.state() for b in self.budgets],
-            "seen": [s.state() for s in self.seen],
+            "shards": self._call("state", [()] * len(self.shards)),
             "fetch_log": list(self.fetch_log),
         }
 
     @classmethod
-    def from_state(cls, cfg: CrawlConfig, st: dict) -> "CrawlState":
-        obj = cls(cfg)
+    def from_state(cls, cfg: CrawlConfig, st: dict,
+                   use_actors: bool = False) -> "CrawlState":
+        obj = cls(cfg, use_actors=use_actors)
         obj.now = st["now"]
         obj.wave = st["wave"]
-        obj.frontiers = [FrontierShard.from_state(s) for s in st["frontiers"]]
-        obj.budgets = [HostBudget.from_state(s) for s in st["budgets"]]
-        obj.seen = [SeenShard.from_state(s) for s in st["seen"]]
+        obj._call("restore", [(s,) for s in st["shards"]])
         obj.fetch_log = [tuple(t) for t in st["fetch_log"]]
         return obj
 
@@ -196,7 +209,7 @@ class CrawlEngine:
 
     # -- lifecycle --------------------------------------------------------
     def start(self, seeds: list[dict]) -> None:
-        self.state = CrawlState(self.cfg)
+        self.state = CrawlState(self.cfg, use_actors=self.cfg.use_shard_actors)
         self.state.enqueue([s["url"] for s in seeds], [s["depth"] for s in seeds])
         self.ckpt.save(0, {"cfg_seed": self.cfg.seed, "state": self.state.state()})
         self.state.wave = 0
@@ -206,7 +219,8 @@ class CrawlEngine:
         if latest is None:
             return False
         wave, payload = latest
-        self.state = CrawlState.from_state(self.cfg, payload["state"])
+        self.state = CrawlState.from_state(self.cfg, payload["state"],
+                                           use_actors=self.cfg.use_shard_actors)
         self.state.wave = wave
         return True
 
@@ -313,5 +327,5 @@ class CrawlEngine:
             waves += 1
         totals["waves"] = waves
         totals["frontier_left"] = self.state.frontier_size()
-        totals["seen"] = sum(s.size for s in self.state.seen)
+        totals["seen"] = self.state.seen_size()
         return totals

@@ -74,7 +74,7 @@ class SerialCrawler:
             "waves": waves,
             "fetched": len(st.fetch_log),
             "written": len(self.rows),
-            "seen": sum(s.size for s in st.seen),
+            "seen": st.seen_size(),
         }
 
     # -- equivalence probes ----------------------------------------------
@@ -82,4 +82,4 @@ class SerialCrawler:
         return list(self.state.fetch_log)
 
     def seen_tables(self) -> list[np.ndarray]:
-        return [s.cuckoo.table.copy() for s in self.state.seen]
+        return self.state.seen_tables()

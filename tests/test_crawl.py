@@ -57,7 +57,7 @@ def test_fetch_ordering_equivalence(serial_run, engine_run):
 def test_url_seen_set_equivalence(serial_run, engine_run):
     sc, _, _ = serial_run
     eng, _ = engine_run
-    for a, b in zip(sc.seen_tables(), (s.cuckoo.table for s in eng.state.seen)):
+    for a, b in zip(sc.seen_tables(), eng.state.seen_tables()):
         assert (a == b).all()
 
 
@@ -146,7 +146,7 @@ def test_kill_and_resume_equivalence(ray_session, serial_run, tmp_path):
     eng2.run(seeds=None)  # resume from checkpoint
 
     assert eng2.state.fetch_log == sc.fetch_order()
-    for a, b in zip(sc.seen_tables(), (s.cuckoo.table for s in eng2.state.seen)):
+    for a, b in zip(sc.seen_tables(), eng2.state.seen_tables()):
         assert (a == b).all()
     tab = eng2.store.read_table(columns=["image_id", "phash"])
     got = {(r["image_id"], r["phash"]) for r in tab.to_pylist()}
