@@ -76,18 +76,19 @@ def bench_ingest() -> dict:
 
 
 def bench_crawl() -> dict:
+    """Headline: the north-star metric — sustained fetch+decode URLs/sec
+    through the full frontier engine. Seed set and wave size are large so
+    steady-state waves dominate over pool-warmup/ramp-up."""
     import shutil
 
     from logcrawler_ray.pipelines.crawl import CrawlConfig, CrawlEngine
 
-    cfg = CrawlConfig(seed=SEED, n_hosts=48, pages_per_host=300, n_shards=8,
-                      wave_size=1024, max_depth=12, max_waves=6,
-                      fetch_concurrency=(2, max(2, NUM_CPUS // 2)),
-                      decode_concurrency=(2, max(2, NUM_CPUS // 2)),
+    cfg = CrawlConfig(seed=SEED, n_hosts=96, pages_per_host=400, n_shards=8,
+                      wave_size=4096, max_depth=12, max_waves=8,
                       batch_size=64)
     root = f"/tmp/graft_bench/crawl_{NUM_CPUS}_{time.time_ns()}"
     eng = CrawlEngine(cfg, root + "/store", root + "/ckpt")
-    seeds = cfg.web().seed_urls(96)
+    seeds = cfg.web().seed_urls(2048)
     t0 = time.perf_counter()
     m = eng.run(seeds=seeds)
     dt = time.perf_counter() - t0
@@ -129,8 +130,8 @@ def run_bench() -> dict:
     crawl = bench_crawl()
     queries = bench_queries()
     result = {
-        "metric": "fetch+decode throughput into store (headline: ingest sec)",
-        "value": ingest["sec"],
+        "metric": "sustained fetch+decode throughput into store (headline: crawl sec; urls_per_sec in .crawl)",
+        "value": crawl["sec"],
         "unit": "sec",
         "queries": {**queries, "crawl": crawl["sec"], "ingest": ingest["sec"]},
         "sf": SF_DIR,
@@ -155,14 +156,15 @@ def run_scaling() -> dict:
     eff_ingest = (lo["ingest"]["sec"] / hi["ingest"]["sec"]) / (32 / 8)
     eff_crawl = (lo["crawl"]["sec"] / hi["crawl"]["sec"]) / (32 / 8)
     return {
-        "metric": "scaling efficiency 8->32 cpus (4x)",
-        "sec_8": lo["ingest"]["sec"], "sec_32": hi["ingest"]["sec"],
-        "rows_per_sec_8": lo["ingest"]["rows_per_sec"],
-        "rows_per_sec_32": hi["ingest"]["rows_per_sec"],
+        "metric": "scaling efficiency 8->32 cpus (4x); headline=crawl",
+        "sec_8": lo["crawl"]["sec"], "sec_32": hi["crawl"]["sec"],
         "urls_per_sec_8": lo["crawl"]["urls_per_sec"],
         "urls_per_sec_32": hi["crawl"]["urls_per_sec"],
-        "scaling_efficiency_ingest": round(eff_ingest, 3),
+        "ingest_sec_8": lo["ingest"]["sec"], "ingest_sec_32": hi["ingest"]["sec"],
+        "rows_per_sec_8": lo["ingest"]["rows_per_sec"],
+        "rows_per_sec_32": hi["ingest"]["rows_per_sec"],
         "scaling_efficiency_crawl": round(eff_crawl, 3),
+        "scaling_efficiency_ingest": round(eff_ingest, 3),
     }
 
 
