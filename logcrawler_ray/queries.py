@@ -776,6 +776,44 @@ def q29_behavior_stream(sf_dir: str):
     return out.sort_values(["log_id", "seq", "symbol"]).reset_index(drop=True)
 
 
+@_q(
+    "q31_interarrival",
+    """
+    SELECT delta_min, COUNT(*) AS n FROM (
+      SELECT CAST(FLOOR((epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id)) / 60000000.0)
+                  AS BIGINT) AS delta_min
+      FROM events)
+    WHERE delta_min IS NOT NULL GROUP BY delta_min
+    """,
+)
+def q31_interarrival(sf_dir: str):
+    """Inter-arrival histogram — the reference's frame-time-delta Counter
+    per log (A6, tests/frame_time_diffrences.py:8-24): per-user sorted lag
+    diffs, bucketed to minutes, counted globally. Per-group diff inside an
+    ordered map_groups; partial counts merged by a tiny final groupby."""
+    from ray.data.aggregate import Sum
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"], kind="mergesort")
+        us = df["ts"].astype("datetime64[us]").view("int64")
+        deltas = np.diff(us.to_numpy())
+        if len(deltas) == 0:
+            return pd.DataFrame({"delta_min": [], "n": []}).astype(
+                {"delta_min": np.int64, "n": np.int64})
+        mins = np.floor(deltas / 60_000_000.0).astype(np.int64)
+        uniq, counts = np.unique(mins, return_counts=True)
+        return pd.DataFrame({"delta_min": uniq, "n": counts.astype(np.int64)})
+
+    return (
+        _read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pandas")
+        .groupby("delta_min")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
 @_q("q30_crawl")
 def q30_crawl(sf_dir: str):
     """The full crawl engine, deterministically: frontier + politeness +
