@@ -70,7 +70,7 @@ class CrawlConfig:
     # shard actors parallelize per-wave enqueue/drain across shards; the
     # serial reference executor always runs shards in-process
     use_shard_actors: bool = True
-    wave_blocks: int = 16  # blocks per wave Dataset (intra-wave parallelism)
+    wave_blocks: int = 64  # blocks per wave Dataset (intra-wave parallelism)
     web_params: dict = field(default_factory=dict)
 
     def web(self) -> SyntheticWeb:

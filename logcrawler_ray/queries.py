@@ -814,6 +814,80 @@ def q31_interarrival(sf_dir: str):
     )
 
 
+@_q(
+    "q32_hourly_by_type",
+    """
+    SELECT event_type, strftime(ts, '%Y-%m-%d %H') AS hour, COUNT(*) AS n
+    FROM events GROUP BY event_type, hour
+    """,
+)
+def q32_hourly_by_type(sf_dir: str):
+    """Tumbling hourly window per event type (stream-shaped groupby)."""
+    from ray.data.aggregate import Count
+
+    def add_hour(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"],
+            "hour": pc.strftime(t["ts"], format="%Y-%m-%d %H"),
+        })
+
+    return (
+        _read(sf_dir, "events", columns=["event_type", "ts"])
+        .map_batches(add_hour, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+@_q(
+    "q33_acctbal_buckets",
+    """
+    SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
+                WHEN c_acctbal < 5000 THEN 'low'
+                WHEN c_acctbal < 8000 THEN 'mid'
+                ELSE 'high' END AS bucket,
+           COUNT(*) AS n
+    FROM customer GROUP BY bucket
+    """,
+)
+def q33_acctbal_buckets(sf_dir: str):
+    """CASE/WHEN bucketing (the M14 classify-by-threshold shape, SQL-able)."""
+    from ray.data.aggregate import Count
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        v = t["c_acctbal"].to_numpy()
+        labels = np.select(
+            [v < 0, v < 5000, v < 8000], ["negative", "low", "mid"], default="high")
+        return pa.table({"bucket": pa.array(labels.tolist(), pa.string())})
+
+    return (
+        _read(sf_dir, "customer", columns=["c_acctbal"])
+        .map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+@_q(
+    "q34_popular_parts",
+    """
+    SELECT l_partkey, COUNT(*) AS n_lines
+    FROM lineitem GROUP BY l_partkey HAVING COUNT(*) >= 8
+    """,
+)
+def q34_popular_parts(sf_dir: str):
+    """Groupby + HAVING: post-aggregation filter."""
+    from ray.data.aggregate import Count
+
+    ds = (
+        _read(sf_dir, "lineitem", columns=["l_partkey"])
+        .groupby("l_partkey")
+        .aggregate(Count(alias_name="n_lines"))
+    )
+    return ds.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["n_lines"], 8)), batch_format="pyarrow")
+
+
 @_q("q30_crawl")
 def q30_crawl(sf_dir: str):
     """The full crawl engine, deterministically: frontier + politeness +

@@ -47,10 +47,15 @@ except ImportError:
 
 
 class ImageStore:
-    """Partitioned table store with atomic per-partition commits."""
+    """Partitioned table store with atomic per-partition commits.
 
-    def __init__(self, root: str):
+    ``compression="none"`` by default: the payload column carries
+    already-compressed image bytes (png/qjpeg/zlib), so parquet-level
+    snappy costs ~4x write CPU for zero size win."""
+
+    def __init__(self, root: str, compression: str = "none"):
         self.root = root
+        self.compression = compression
         os.makedirs(self._manifest_dir, exist_ok=True)
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
 
@@ -105,7 +110,8 @@ class ImageStore:
         """Atomically write one partition from a driver-side Arrow table."""
         tmp_dir = self._part_dir(pid) + f".tmp.{uuid.uuid4().hex}"
         os.makedirs(tmp_dir)
-        pq.write_table(table, os.path.join(tmp_dir, "part-0.parquet"))
+        pq.write_table(table, os.path.join(tmp_dir, "part-0.parquet"),
+                       compression=self.compression)
         self._commit(pid, tmp_dir, table.num_rows, meta)
 
     def append_dataset(self, pid: str, ds, meta: dict | None = None) -> int:
@@ -116,7 +122,7 @@ class ImageStore:
         """
         tmp_dir = self._part_dir(pid) + f".tmp.{uuid.uuid4().hex}"
         os.makedirs(tmp_dir)
-        ds.write_parquet(tmp_dir)
+        ds.write_parquet(tmp_dir, compression=self.compression)
         rows = sum(pq.read_metadata(os.path.join(tmp_dir, f)).num_rows
                    for f in os.listdir(tmp_dir) if f.endswith(".parquet"))
         self._commit(pid, tmp_dir, rows, meta)
