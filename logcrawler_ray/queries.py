@@ -888,6 +888,40 @@ def q34_popular_parts(sf_dir: str):
         lambda t: t.filter(pc.greater_equal(t["n_lines"], 8)), batch_format="pyarrow")
 
 
+@_q(
+    "q35_segment_revenue",
+    """
+    SELECT c_mktsegment,
+           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q35_segment_revenue(sf_dir: str):
+    """Native hash-partitioned ``Dataset.join`` (both sides shuffled on the
+    key) — the large-side join path, vs the broadcast joins of q05-q07."""
+    from ray.data.aggregate import Count, Sum
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": t["o_custkey"],
+            "total_e2": np.round(t["o_totalprice"].to_numpy() * 100).astype(np.int64),
+        })
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]).map_batches(
+        cents, batch_format="pyarrow")
+    customer = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    joined = orders.join(customer, join_type="inner", num_partitions=8,
+                         on=("o_custkey",), right_on=("c_custkey",))
+    out = (joined.groupby("c_mktsegment")
+           .aggregate(Sum("total_e2", alias_name="total_e2"),
+                      Count(alias_name="n_orders"))
+           .to_pandas())
+    out["revenue"] = out.pop("total_e2") / 100.0
+    return out
+
+
 @_q("q30_crawl")
 def q30_crawl(sf_dir: str):
     """The full crawl engine, deterministically: frontier + politeness +
