@@ -39,16 +39,27 @@ def add_bucket(ds, n_buckets: int = DEFAULT_BUCKETS, src: str = "host_hash",
     return ds.map_batches(bucketize, batch_format="pyarrow")
 
 
-def decode_pipeline(ds, *, concurrency: int | tuple[int, int] = 4, batch_size: int = 64,
-                    keep_bytes: bool = True):
-    """read -> DecodeStats actor pool -> decode_ok filter. Returns lazy Dataset."""
-    out = ds.map_batches(
-        DecodeStats,
-        fn_constructor_kwargs={"keep_bytes": keep_bytes},
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
-    )
+def decode_pipeline(ds, *, concurrency: int | tuple[int, int] | None = 4,
+                    batch_size: int = 64, keep_bytes: bool = True):
+    """read -> DecodeStats -> decode_ok filter. Returns lazy Dataset.
+
+    ``concurrency=None`` runs the stage as stateless tasks (no pool startup
+    cost; right when per-actor state is cheap, as with the pure-numpy
+    codecs); an int/tuple keeps the actor-pool shape for expensive state.
+    """
+    if concurrency is None:
+        out = ds.map_batches(
+            DecodeStats(keep_bytes=keep_bytes), batch_format="pyarrow",
+            batch_size=batch_size,
+        )
+    else:
+        out = ds.map_batches(
+            DecodeStats,
+            fn_constructor_kwargs={"keep_bytes": keep_bytes},
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
     return out.map_batches(
         lambda t: t.filter(t["decode_ok"]), batch_format="pyarrow"
     )
@@ -99,12 +110,13 @@ def ingest(source_ds, store: ImageStore | None = None, pid: str = "ingest", *,
     elif not dedup:
         return store.read_dataset(pid)
 
-    from ..stages.dedup import anti_filter_fn, exact_losers
-    import ray
+    from ..stages.dedup import exact_losers
 
     skinny = store.read_dataset(raw_pid, columns=["phash", "image_id"])
     losers = exact_losers(skinny, "phash", "image_id")
-    filtered = store.read_dataset(raw_pid).map_batches(
-        anti_filter_fn(ray.put(losers), "image_id"), batch_format="pyarrow")
-    store.append_dataset(pid, filtered, meta={"pipeline": "ingest", "stage": "dedup"})
+    # dedup as metadata: commit a delete-vector view over the raw partition —
+    # the payload bytes are written exactly once (lakehouse delete vectors;
+    # Lance deletions). Readers of `pid` get the filtered stream.
+    store.commit_delete_view(pid, raw_pid, losers, key_col="image_id",
+                             meta={"pipeline": "ingest", "stage": "dedup"})
     return store.read_dataset(pid)

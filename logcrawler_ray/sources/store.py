@@ -128,25 +128,102 @@ class ImageStore:
         self._commit(pid, tmp_dir, rows, meta)
         return rows
 
+    # -- delete-vector views ----------------------------------------------
+    def commit_delete_view(self, pid: str, base_pid: str, delete_keys,
+                           key_col: str, meta: dict | None = None) -> int:
+        """Commit ``pid`` as a logical view: base partition minus rows whose
+        ``key_col`` is in ``delete_keys`` — dedup as METADATA, the
+        delete-vector pattern of lakehouse formats (and Lance deletions):
+        no second copy of the payload bytes is ever written. Returns the
+        view's row count."""
+        keys = list(delete_keys)
+        tmp_dir = self._part_dir(pid) + f".tmp.{uuid.uuid4().hex}"
+        os.makedirs(tmp_dir)
+        pq.write_table(pa.table({key_col: keys}),
+                       os.path.join(tmp_dir, "deletes.parquet"),
+                       compression=self.compression)
+        rows = self.rows(base_pid) - len(keys)
+        final_dir = self._part_dir(pid)
+        if os.path.exists(final_dir):
+            shutil.rmtree(final_dir)
+        os.replace(tmp_dir, final_dir)
+        manifest = {"rows": rows, "files": [],
+                    "view": {"base": base_pid, "key_col": key_col,
+                             "delete_file": "deletes.parquet"},
+                    "meta": meta or {}}
+        mtmp = self._manifest_path(pid) + f".tmp.{uuid.uuid4().hex}"
+        with open(mtmp, "w") as f:
+            json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(mtmp, self._manifest_path(pid))
+        return rows
+
+    def _view_of(self, pid: str) -> dict | None:
+        return self.manifest(pid).get("view")
+
+    def _delete_keys(self, pid: str) -> tuple[str, frozenset]:
+        v = self._view_of(pid)
+        tab = pq.read_table(os.path.join(self._part_dir(pid), v["delete_file"]))
+        return v["key_col"], frozenset(tab[v["key_col"]].to_pylist())
+
     # -- readers -----------------------------------------------------------
     def files(self, pid: str | None = None) -> list[str]:
-        """Data files of committed partitions only (uncommitted temps invisible)."""
+        """Data files of committed partitions only (uncommitted temps
+        invisible; view partitions resolve to their base's files)."""
         out: list[str] = []
         for p in [pid] if pid else self.partitions():
             m = self.manifest(p)
-            d = self._part_dir(p)
-            out.extend(os.path.join(d, f) for f in m["files"])
+            if m.get("view"):
+                out.extend(self.files(m["view"]["base"]))
+            else:
+                d = self._part_dir(p)
+                out.extend(os.path.join(d, f) for f in m["files"])
         return out
 
     def read_dataset(self, pid: str | None = None, columns: list[str] | None = None):
         import ray.data as rd
 
+        if pid is not None and self._view_of(pid):
+            key_col, dropped = self._delete_keys(pid)
+            base = self._view_of(pid)["base"]
+            cols = columns
+            if cols is not None and key_col not in cols:
+                cols = [*cols, key_col]
+            ds = self.read_dataset(base, columns=cols)
+            import ray
+
+            ref = ray.put(dropped)
+
+            def anti(t: pa.Table) -> pa.Table:
+                drop = ray.get(ref)
+                mask = [k not in drop for k in t[key_col].to_pylist()]
+                out = t.filter(pa.array(mask))
+                if columns is not None and key_col not in columns:
+                    out = out.select(columns)
+                return out
+
+            return ds.map_batches(anti, batch_format="pyarrow")
         files = self.files(pid)
         if not files:
             return rd.from_arrow(pa.table({}))
         return rd.read_parquet(files, columns=columns)
 
     def read_table(self, pid: str | None = None, columns: list[str] | None = None) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if pid is not None and self._view_of(pid):
+            key_col, dropped = self._delete_keys(pid)
+            base = self._view_of(pid)["base"]
+            cols = columns
+            if cols is not None and key_col not in cols:
+                cols = [*cols, key_col]
+            tab = self.read_table(base, columns=cols)
+            mask = pa.array([k not in dropped for k in tab[key_col].to_pylist()])
+            tab = tab.filter(mask)
+            if columns is not None and key_col not in columns:
+                tab = tab.select(columns)
+            return tab
         files = self.files(pid)
         if not files:
             return pa.table({})

@@ -45,9 +45,28 @@ def exact_losers(skinny_ds, key: str, order_col: str) -> frozenset:
     import ray
     from ray.data.aggregate import Count, Min
 
-    agg = (skinny_ds.groupby(key)
-           .aggregate(Min(order_col, alias_name="__min"), Count(alias_name="__n"))
-           .to_pandas())
+    # Per-block partial aggregation first: each block emits its distinct
+    # (key, min, count) — at most block_rows skinny rows. When the merged
+    # partials fit the driver (< ~5M rows), finish with one pandas groupby
+    # and skip the distributed shuffle entirely (its fixed cost is seconds);
+    # larger inputs use the native distributed aggregate.
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.select([key, order_col]).to_pandas()
+        g = df.groupby(key, as_index=False).agg(
+            __min=(order_col, "min"), __n=(order_col, "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials_ds = skinny_ds.map_batches(partial, batch_format="pyarrow")
+    # limit() bails out early if the partials are too big for the driver
+    partial_rows = partials_ds.limit(DEFAULT_MAX_BROADCAST + 1).take_all()
+    if len(partial_rows) <= DEFAULT_MAX_BROADCAST:
+        pdf = pd.DataFrame(partial_rows)
+        agg = pdf.groupby(key, as_index=False).agg(
+            __min=("__min", "min"), __n=("__n", "sum"))
+    else:  # scale path: distributed partial+final aggregate
+        agg = (skinny_ds.groupby(key)
+               .aggregate(Min(order_col, alias_name="__min"), Count(alias_name="__n"))
+               .to_pandas())
     dups = agg[agg["__n"] > 1]
     if dups.empty:
         return frozenset()
