@@ -66,7 +66,8 @@ def bench_ingest() -> dict:
     store = ImageStore(store_root)
     # fixed-size actor pool: autoscaling (min,max) pools ramp too slowly to
     # matter within one bench run
-    ingest(src, store, pid="bench", concurrency=max(2, NUM_CPUS * 3 // 4),
+    ingest(src, store, pid="bench",
+           concurrency=max(1, min(NUM_CPUS - 2, NUM_CPUS * 3 // 4)),
            batch_size=128, keep_bytes=True)
     dt = time.perf_counter() - t0
     written = store.rows("bench")
@@ -143,26 +144,37 @@ def run_bench() -> dict:
     return result
 
 
-def run_scaling() -> dict:
+def run_scaling(lo_cpus: int = 8, hi_cpus: int = 32) -> dict:
+    """Same job, two parallelism levels (lo, 4x lo) in fresh processes.
+
+    NOTE single-node caveat (see BENCH/BASELINE.md): the decode stage
+    saturates this machine's memory bandwidth near ~24 cores, so the
+    8->32 pair understates what 4x NODES would deliver (each node brings
+    its own memory bus). Run `--scaling 2 8` for a 4x pair clear of the
+    ceiling.
+    """
+
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         out = subprocess.run([sys.executable, __file__], env=env, capture_output=True,
                              text=True, check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    one(8)  # warm: corpus synth + page cache, untimed
-    lo = one(8)
-    hi = one(32)
-    eff_ingest = (lo["ingest"]["sec"] / hi["ingest"]["sec"]) / (32 / 8)
-    eff_crawl = (lo["crawl"]["sec"] / hi["crawl"]["sec"]) / (32 / 8)
+    factor = hi_cpus / lo_cpus
+    one(lo_cpus)  # warm: corpus synth + page cache, untimed
+    lo = one(lo_cpus)
+    hi = one(hi_cpus)
+    eff_ingest = (lo["ingest"]["sec"] / hi["ingest"]["sec"]) / factor
+    eff_crawl = (lo["crawl"]["sec"] / hi["crawl"]["sec"]) / factor
     return {
-        "metric": "scaling efficiency 8->32 cpus (4x); headline=crawl",
-        "sec_8": lo["crawl"]["sec"], "sec_32": hi["crawl"]["sec"],
-        "urls_per_sec_8": lo["crawl"]["urls_per_sec"],
-        "urls_per_sec_32": hi["crawl"]["urls_per_sec"],
-        "ingest_sec_8": lo["ingest"]["sec"], "ingest_sec_32": hi["ingest"]["sec"],
-        "rows_per_sec_8": lo["ingest"]["rows_per_sec"],
-        "rows_per_sec_32": hi["ingest"]["rows_per_sec"],
+        "metric": f"scaling efficiency {lo_cpus}->{hi_cpus} cpus ({factor:g}x); headline=crawl",
+        f"sec_{lo_cpus}": lo["crawl"]["sec"], f"sec_{hi_cpus}": hi["crawl"]["sec"],
+        f"urls_per_sec_{lo_cpus}": lo["crawl"]["urls_per_sec"],
+        f"urls_per_sec_{hi_cpus}": hi["crawl"]["urls_per_sec"],
+        f"ingest_sec_{lo_cpus}": lo["ingest"]["sec"],
+        f"ingest_sec_{hi_cpus}": hi["ingest"]["sec"],
+        f"rows_per_sec_{lo_cpus}": lo["ingest"]["rows_per_sec"],
+        f"rows_per_sec_{hi_cpus}": hi["ingest"]["rows_per_sec"],
         "scaling_efficiency_crawl": round(eff_crawl, 3),
         "scaling_efficiency_ingest": round(eff_ingest, 3),
     }
@@ -170,6 +182,10 @@ def run_scaling() -> dict:
 
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
-        print(json.dumps(run_scaling()))
+        extra = [a for a in sys.argv[sys.argv.index("--scaling") + 1 :] if a.isdigit()]
+        if len(extra) >= 2:
+            print(json.dumps(run_scaling(int(extra[0]), int(extra[1]))))
+        else:
+            print(json.dumps(run_scaling()))
     else:
         print(json.dumps(run_bench()))

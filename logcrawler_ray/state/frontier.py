@@ -119,7 +119,7 @@ def make_frontier_actor_cls():
 
     from .politeness import HostBudget
 
-    @ray.remote(num_cpus=0.25)
+    @ray.remote(num_cpus=0)
     class FrontierActor:
         def __init__(self, shard_id: int, n_shards: int,
                      state: dict | None = None, budget_state: dict | None = None,

@@ -105,7 +105,7 @@ class RobotsCache:
 def make_robots_actor_cls():
     import ray
 
-    @ray.remote(num_cpus=0.25)
+    @ray.remote(num_cpus=0)
     class RobotsActor:
         def __init__(self, fetcher):
             self.cache = RobotsCache(fetcher)

@@ -97,7 +97,7 @@ class CrawlShard:
 def make_shard_actor_cls():
     import ray
 
-    @ray.remote(num_cpus=0.25)
+    @ray.remote(num_cpus=0)
     class CrawlShardActor(CrawlShard):
         pass
 

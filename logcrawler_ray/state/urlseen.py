@@ -75,7 +75,7 @@ def make_seen_actor_cls():
     """Ray actor wrapper (deferred so importing this module needs no ray)."""
     import ray
 
-    @ray.remote(num_cpus=0.25)
+    @ray.remote(num_cpus=0)
     class SeenShardActor:
         def __init__(self, capacity: int, fp_rate: float = 0.01, seed: int = 7,
                      state: dict | None = None):
