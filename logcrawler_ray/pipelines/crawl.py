@@ -245,8 +245,9 @@ class CrawlEngine:
             "seq": pa.array([r["seq"] for r in emitted], pa.int64()),
             "fetch_time": pa.array([r["fetch_time"] for r in emitted], pa.int64()),
         })
-        # split the wave into blocks so fetch/decode parallelize within it
-        nb = max(1, min(self.cfg.wave_blocks, in_table.num_rows))
+        # split the wave into blocks so fetch/decode parallelize within it;
+        # keep blocks >= ~64 rows so small waves don't drown in task overhead
+        nb = max(1, min(self.cfg.wave_blocks, in_table.num_rows // 64 or 1))
         step = -(-in_table.num_rows // nb)
         chunks = [in_table.slice(i * step, step) for i in range(nb)
                   if i * step < in_table.num_rows]
