@@ -922,6 +922,61 @@ def q35_segment_revenue(sf_dir: str):
     return out
 
 
+@_q(
+    "q36_salted_user_totals",
+    """
+    SELECT user_id, COUNT(*) AS n,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS total
+    FROM events GROUP BY user_id
+    """,
+)
+def q36_salted_user_totals(sf_dir: str):
+    """Skew-safe two-phase salted aggregation (stages/skew.py) — result is
+    identical to a plain groupby, which IS the oracle: the salt spreads a
+    hot key over n_salts reducers, phase 2 merges the partials."""
+    from .stages.skew import salted_aggregate
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "value_e2": np.round(t["value"].to_numpy() * 100).astype(np.int64),
+            "one": np.ones(t.num_rows, dtype=np.int64),
+        })
+
+    ds = _read(sf_dir, "events", columns=["user_id", "value"]).map_batches(
+        cents, batch_format="pyarrow")
+    out = salted_aggregate(ds, "user_id", {"one": "count", "value_e2": "sum"},
+                           n_salts=8).to_pandas()
+    out = out.rename(columns={"one": "n"})
+    out["total"] = out.pop("value_e2") / 100.0
+    return out
+
+
+@_q(
+    "q37_name_prefixes",
+    """
+    SELECT upper(substr(p_name, 1, 6)) AS prefix, COUNT(*) AS n,
+           MIN(p_retailprice) AS min_price
+    FROM part GROUP BY prefix
+    """,
+)
+def q37_name_prefixes(sf_dir: str):
+    """String scalar kernel coverage (§2.7): substring + upper via
+    pyarrow.compute, grouped."""
+    from ray.data.aggregate import Count, Min
+
+    def prefix(t: pa.Table) -> pa.Table:
+        p = pc.utf8_upper(pc.utf8_slice_codeunits(t["p_name"], 0, 6))
+        return pa.table({"prefix": p, "p_retailprice": t["p_retailprice"]})
+
+    return (
+        _read(sf_dir, "part", columns=["p_name", "p_retailprice"])
+        .map_batches(prefix, batch_format="pyarrow")
+        .groupby("prefix")
+        .aggregate(Count(alias_name="n"), Min("p_retailprice", alias_name="min_price"))
+    )
+
+
 @_q("q30_crawl")
 def q30_crawl(sf_dir: str):
     """The full crawl engine, deterministically: frontier + politeness +

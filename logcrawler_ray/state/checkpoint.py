@@ -24,6 +24,8 @@ class CheckpointDir:
     def _path(self, wave: int) -> str:
         return os.path.join(self.root, f"wave-{wave:06d}.ckpt")
 
+    KEEP = 3  # retained checkpoints; older ones are pruned after a commit
+
     def save(self, wave: int, state: dict) -> None:
         tmp = self._path(wave) + f".tmp.{uuid.uuid4().hex}"
         with open(tmp, "wb") as f:
@@ -31,6 +33,18 @@ class CheckpointDir:
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, self._path(wave))
+        self._prune()
+
+    def _prune(self) -> None:
+        waves = sorted(
+            int(f[5:11]) for f in os.listdir(self.root)
+            if f.startswith("wave-") and f.endswith(".ckpt")
+        )
+        for w in waves[: -self.KEEP]:
+            try:
+                os.remove(self._path(w))
+            except OSError:
+                pass
 
     def latest(self) -> tuple[int, dict] | None:
         waves = sorted(

@@ -174,3 +174,18 @@ def test_robots_cache_fetches_once():
     assert c.allowed("h1", "/yes")
     assert c.crawl_delay_ms("h1") == 0
     assert calls == ["h1"]
+
+
+# ---------------------------------------------------------------- checkpoint
+def test_checkpoint_prune_keeps_latest(tmp_path):
+    from logcrawler_ray.state.checkpoint import CheckpointDir
+
+    ck = CheckpointDir(str(tmp_path))
+    for w in range(6):
+        ck.save(w, {"wave": w})
+    import os
+
+    kept = sorted(f for f in os.listdir(tmp_path) if f.endswith(".ckpt"))
+    assert len(kept) == CheckpointDir.KEEP
+    wave, payload = ck.latest()
+    assert wave == 5 and payload["wave"] == 5
