@@ -11,7 +11,6 @@ stats are skipped on rerun, like the reference's is_done count checks.
 
 from __future__ import annotations
 
-import numpy as np
 import pyarrow as pa
 
 from ..sources.store import ImageStore

@@ -114,7 +114,6 @@ def verify_jaccard_pairs(ds, pairs_ds, text_col: str = "text",
     Broadcasts only the shingle sets of docs that appear in candidates
     (at web scale this set is a small fraction of the corpus).
     """
-    import ray
 
     pairs = pairs_ds.to_pandas()
     if pairs.empty:

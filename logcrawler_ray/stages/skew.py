@@ -76,8 +76,6 @@ def repartition_by_key(ds, key_hash_col: str, n_buckets: int):
         return t.append_column(
             "__bucket", pa.array((hh % np.uint64(n_buckets)).astype(np.int32)))
 
-    import pandas as pd
-
     return (ds.map_batches(bucketize, batch_format="pyarrow")
             .groupby("__bucket")
             .map_groups(lambda df: df.drop(columns="__bucket"), batch_format="pandas"))

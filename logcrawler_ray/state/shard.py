@@ -25,7 +25,7 @@ import numpy as np
 from ..functions.hashing import hash64_str_array
 from .frontier import FrontierShard
 from .politeness import HostBudget, RobotsCache
-from .urlseen import SeenShard
+from .urlseen import GrowableSeen
 
 
 class CrawlShard:
@@ -33,7 +33,7 @@ class CrawlShard:
                  seed: int, robots_fetcher):
         self.frontier = FrontierShard(shard_id, n_shards)
         self.budget = HostBudget()
-        self.seen = SeenShard(seen_capacity, seed=seed + shard_id)
+        self.seen = GrowableSeen(seen_capacity, seed=seed + shard_id)
         self.robots = RobotsCache(robots_fetcher)
 
     def enqueue_batch(self, items: list[tuple[str, str, str, int, int]]) -> int:
@@ -72,7 +72,8 @@ class CrawlShard:
         return self.seen.size
 
     def cuckoo_table(self) -> np.ndarray:
-        return self.seen.cuckoo.table.copy()
+        # all generations flattened — the byte-equivalence probe
+        return np.concatenate([g.cuckoo.table.reshape(-1) for g in self.seen.gens])
 
     # -- snapshot ----------------------------------------------------------
     def state(self) -> dict:
@@ -89,7 +90,7 @@ class CrawlShard:
 
         self.frontier = FrontierShard.from_state(st["frontier"])
         self.budget = HostBudget.from_state(st["budget"])
-        self.seen = SeenShard.from_state(st["seen"])
+        self.seen = GrowableSeen.from_state(st["seen"])
         self.robots.cache = {h: RobotsRules(d, dis)
                              for h, (d, dis) in st["robots"].items()}
 

@@ -71,6 +71,85 @@ class SeenShard:
         return obj
 
 
+class GrowableSeen:
+    """Generational seen-filter: grows without rehashing old keys.
+
+    A cuckoo table cannot be enlarged in place (bucket indices derive from
+    the full key hash, which fingerprints don't retain), so growth appends
+    a NEW generation of 2x capacity once the current one passes the load
+    threshold: lookups consult every generation, inserts go to the newest.
+    Lookup cost is O(generations) = O(log(total/initial)) — bounded and
+    cache-friendly since older generations are read-only.
+
+    Deterministic: growth happens at exact insert counts, so serial and
+    parallel executions (and resumed runs) evolve identical structures.
+    """
+
+    GROW_AT = 0.5  # of the newest generation's slot capacity
+
+    def __init__(self, initial_capacity: int = 1 << 16, fp_rate: float = 0.01,
+                 seed: int = 7):
+        self.fp_rate = fp_rate
+        self.seed = seed
+        self.gens: list[SeenShard] = [SeenShard(initial_capacity, fp_rate, seed)]
+
+    def _maybe_grow(self) -> None:
+        cur = self.gens[-1]
+        cap = cur.cuckoo.n_buckets * cur.cuckoo.SLOTS
+        if cur.cuckoo.size >= int(cap * self.GROW_AT):
+            self.gens.append(
+                SeenShard(cap * 2, self.fp_rate, self.seed + len(self.gens)))
+
+    def add_if_new(self, keys: np.ndarray) -> np.ndarray:
+        """Vectorized: older generations answer contains() in bulk; the
+        newest takes the batched insert. Growth is checked at batch end —
+        batch boundaries are identical in the serial executor and the
+        engine (same enqueue_batch calls), so evolution stays deterministic;
+        the newest generation's 2x headroom absorbs any batch overshoot."""
+        keys = np.asarray(keys, dtype=np.uint64)
+        out = np.zeros(len(keys), dtype=bool)
+        seen_old = np.zeros(len(keys), dtype=bool)
+        for g in self.gens[:-1]:
+            rem = ~seen_old
+            if not rem.any():
+                break
+            seen_old[rem] |= g.contains(keys[rem])
+        idx = np.nonzero(~seen_old)[0]
+        if len(idx):
+            out[idx] = self.gens[-1].add_if_new(keys[idx])
+        self._maybe_grow()
+        return out
+
+    def contains(self, keys: np.ndarray) -> np.ndarray:
+        keys = np.asarray(keys, dtype=np.uint64)
+        res = np.zeros(len(keys), dtype=bool)
+        for g in self.gens:
+            rem = ~res
+            if not rem.any():
+                break
+            res[rem] |= g.contains(keys[rem])
+        return res
+
+    @property
+    def size(self) -> int:
+        return sum(g.size for g in self.gens)
+
+    def url_keys(self, urls: list[str]) -> np.ndarray:
+        return hash64_str_array(urls, seed=0x5EED)
+
+    def state(self) -> dict:
+        return {"fp_rate": self.fp_rate, "seed": self.seed,
+                "gens": [g.state() for g in self.gens]}
+
+    @classmethod
+    def from_state(cls, st: dict) -> "GrowableSeen":
+        obj = cls.__new__(cls)
+        obj.fp_rate = st["fp_rate"]
+        obj.seed = st["seed"]
+        obj.gens = [SeenShard.from_state(g) for g in st["gens"]]
+        return obj
+
+
 def make_seen_actor_cls():
     """Ray actor wrapper (deferred so importing this module needs no ray)."""
     import ray

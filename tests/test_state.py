@@ -189,3 +189,41 @@ def test_checkpoint_prune_keeps_latest(tmp_path):
     assert len(kept) == CheckpointDir.KEEP
     wave, payload = ck.latest()
     assert wave == 5 and payload["wave"] == 5
+
+
+# ---------------------------------------------------------------- growable
+def test_growable_seen_grows_and_stays_exact():
+    from logcrawler_ray.state.urlseen import GrowableSeen
+
+    g = GrowableSeen(initial_capacity=64, seed=5)
+    rng = np.random.default_rng(0)
+    keys = rng.integers(0, 2**63, 3000, dtype=np.uint64)
+    # insert in batches (like wave enqueues)
+    for i in range(0, len(keys), 100):
+        g.add_if_new(keys[i : i + 100])
+    assert len(g.gens) > 1  # actually grew
+    assert g.contains(keys).all()
+    # no key reported new twice
+    again = g.add_if_new(keys)
+    assert not again.any()
+    assert g.size == len(np.unique(keys))
+
+
+def test_growable_seen_snapshot_deterministic():
+    from logcrawler_ray.state.urlseen import GrowableSeen
+
+    def build(upto):
+        g = GrowableSeen(initial_capacity=64, seed=5)
+        for i in range(0, upto, 50):
+            g.add_if_new(np.arange(i, min(i + 50, upto), dtype=np.uint64))
+        return g
+
+    g1 = build(1000)
+    # snapshot at 500, restore, continue -> identical structure
+    ghalf = build(500)
+    g2 = GrowableSeen.from_state(ghalf.state())
+    for i in range(500, 1000, 50):
+        g2.add_if_new(np.arange(i, min(i + 50, 1000), dtype=np.uint64))
+    assert len(g1.gens) == len(g2.gens)
+    for a, b in zip(g1.gens, g2.gens):
+        assert (a.cuckoo.table == b.cuckoo.table).all()

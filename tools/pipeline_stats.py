@@ -18,8 +18,6 @@ def main() -> None:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
-    import ray.data as rd
-
     sys.path.insert(0, "/root/repo")
     from logcrawler_ray.pipelines.ingest import add_bucket, decode_pipeline
     from logcrawler_ray.sources.corpus import corpus_dataset
