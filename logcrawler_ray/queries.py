@@ -1003,6 +1003,53 @@ def q30_crawl(sf_dir: str):
     return pd.DataFrame(log, columns=["wave", "seq", "url", "fetch_time"])
 
 
+@_q("q38_ann_ivf")
+def q38_ann_ivf(sf_dir: str):
+    """IVF-bucketed approximate top-k (kmeans centroids, n_probe clusters
+    scanned) — the other scale path beside LSH. Rows-only."""
+    from .stages.ann import ivf_topk_cosine
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qrows = _read(sf_dir, "embeddings",
+                  filter=pc.field("vec_id").isin(_ANN_QUERY_IDS)).take_all()
+    qrows.sort(key=lambda r: r["vec_id"])
+    qm = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in qrows])
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    return ivf_topk_cosine(ds, qm, qids, k=10, n_clusters=16, n_probe=6)
+
+
+@_q("q39_video_frames")
+def q39_video_frames(sf_dir: str):
+    """Multimodal plumbing through the driver gate: deterministic fake
+    videos -> frame-sampling actor stage -> per-video frame counts +
+    decoded-frame brightness. Rows-only."""
+    import ray.data as rd
+
+    from .functions.phash import grayscale
+    from .codecs import png as pngcodec
+    from .sources.corpus import _pixels
+    from .stages.multimodal import VideoFrameSample, encode_fake_video
+
+    vids = []
+    for v in range(6):
+        frames = [_pixels(1000 * v + i, 32, 24) for i in range(5 + v % 3)]
+        vids.append({"video_id": f"vid-{v:02d}", "bytes": encode_fake_video(frames)})
+    ds = rd.from_items(vids)
+    sampled = ds.map_batches(VideoFrameSample, fn_constructor_kwargs={"every_k": 2},
+                             batch_format="pyarrow", concurrency=1)
+
+    def stats(t: pa.Table) -> pa.Table:
+        bright = []
+        for blob in t["bytes"].to_pylist():
+            img, _ = pngcodec.decode(blob)
+            bright.append(round(float(grayscale(img[None]).mean()), 4))
+        return pa.table({"video_id": t["video_id"], "frame_idx": t["frame_idx"],
+                         "brightness": pa.array(bright)})
+
+    out = sampled.map_batches(stats, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["video_id", "frame_idx"]).reset_index(drop=True)
+
+
 @_q("q26_ann_lsh")
 def q26_ann_lsh(sf_dir: str):
     """LSH-bucketed approximate top-k (scale path of q18); rows-only."""

@@ -109,6 +109,83 @@ def cosine_neardup_pairs(ds, threshold: float = 0.9, id_col: str = "vec_id",
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
+# ------------------------------------------------------------------ IVF
+def kmeans_fit(m: np.ndarray, k: int, n_iter: int = 10, seed: int = 11) -> np.ndarray:
+    """Deterministic Lloyd's k-means on normalized vectors -> (k, d) centroids.
+
+    Fits on a sample driver-side (centroid count is small); assignment is
+    distributed. Empty clusters are re-seeded deterministically."""
+    rng = np.random.default_rng(seed)
+    n = len(m)
+    centroids = m[rng.choice(n, size=min(k, n), replace=False)].copy()
+    for _ in range(n_iter):
+        sims = m @ centroids.T
+        assign = sims.argmax(axis=1)
+        for c in range(len(centroids)):
+            members = m[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                nv = np.linalg.norm(v)
+                if nv > 0:
+                    centroids[c] = v / nv
+            else:
+                centroids[c] = m[int(rng.integers(0, n))]
+    return centroids
+
+
+def ivf_topk_cosine(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
+                    n_clusters: int = 16, n_probe: int = 4, seed: int = 11,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    train_sample: int = 10_000) -> pd.DataFrame:
+    """IVF approximate top-k: rows are bucketed by nearest centroid; each
+    query scans only its ``n_probe`` closest clusters. Same output schema
+    as ``topk_cosine``. The scanned fraction is ~n_probe/n_clusters.
+
+    Training samples up to ``train_sample`` rows driver-side (centroids are
+    tiny); at 10^10 scale the sample read is a ``random_sample`` pass."""
+    import ray
+
+    sample = ds.limit(train_sample).to_pandas()
+    m_train = _normalize(
+        np.stack([np.asarray(v, dtype=np.float64) for v in sample[vec_col]]))
+    centroids = kmeans_fit(m_train, n_clusters, seed=seed)
+
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    q_clusters = np.argsort(-(qn @ centroids.T), axis=1)[:, :n_probe]
+    ref = ray.put((qn, q_clusters, centroids))
+
+    def local(batch: pa.Table) -> pa.Table:
+        q, qc, cents = ray.get(ref)
+        m = _normalize(_to_matrix(batch[vec_col]))
+        ids = batch[id_col].to_numpy()
+        assign = (m @ cents.T).argmax(axis=1)
+        out_q, out_id, out_sim = [], [], []
+        for qi in range(len(q)):
+            mask = np.isin(assign, qc[qi])
+            if not mask.any():
+                continue
+            s = q[qi] @ m[mask].T
+            sub_ids = ids[mask]
+            take = min(k, len(s))
+            cand = np.argpartition(-s, take - 1)[:take] if take < len(s) else np.arange(len(s))
+            order = np.lexsort((sub_ids[cand], -s[cand]))
+            sel = cand[order]
+            out_q.extend([int(query_ids[qi])] * len(sel))
+            out_id.extend(sub_ids[sel].tolist())
+            out_sim.extend(s[sel].tolist())
+        return pa.table({"q_id": pa.array(out_q, pa.int64()),
+                         id_col: pa.array(out_id, pa.int64()),
+                         "sim": pa.array(out_sim, pa.float64())})
+
+    cands = ds.map_batches(local, batch_format="pyarrow").to_pandas()
+    rows = []
+    for qid, grp in cands.groupby("q_id"):
+        grp = grp.sort_values(["sim", id_col], ascending=[False, True]).head(k)
+        for rank, (_, r) in enumerate(grp.iterrows(), start=1):
+            rows.append((qid, int(r[id_col]), rank))
+    return pd.DataFrame(rows, columns=["q_id", id_col, "rank"]).astype(np.int64)
+
+
 # ------------------------------------------------------------------ LSH
 def hyperplane_codes(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
     """(N, d) vectors x (b, d) hyperplanes -> (N,) uint64 sign codes."""

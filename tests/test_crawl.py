@@ -188,3 +188,20 @@ def test_hot_host_skew_present(serial_run):
 
     hosts = Counter(u.split("/")[2] for _, _, u, _ in sc.fetch_order())
     assert len(hosts) > 1
+
+
+def test_actor_pool_mode_equivalence(ray_session, serial_run, tmp_path):
+    """The Ray-Data actor-pool fetch/decode path (use_actors=True) produces
+    the same results as the serial executor (slower per wave — pool startup
+    — but semantically identical)."""
+    sc, seeds, _ = serial_run
+    cfg = CrawlConfig(**{**CFG, "use_actors": True, "max_waves": 2})
+    eng = CrawlEngine(cfg, str(tmp_path / "store"), str(tmp_path / "ckpt"))
+    eng.run(seeds=seeds, max_waves=2)
+    # first two waves of the fetch log must match the serial run's
+    serial_prefix = [t for t in sc.fetch_order() if t[0] < 2]
+    assert eng.state.fetch_log == serial_prefix
+    tab = eng.store.read_table(columns=["image_id", "phash"])
+    got = {(r["image_id"], r["phash"]) for r in tab.to_pylist()}
+    expect = {(r["image_id"], r["phash"]) for r in sc.rows if r["seq"] is not None}
+    assert got <= expect and len(got) > 0

@@ -164,3 +164,26 @@ def test_lsh_topk_high_recall(ray_session, emb_df):
     assert rec >= 0.6
     # self must always be found (hamming 0 bucket)
     assert ((approx["q_id"] == 0) & (approx["vec_id"] == 0) & (approx["rank"] == 1)).any()
+
+
+def test_ivf_topk_recall(ray_session, emb_df):
+    import ray.data as rd
+
+    ds = rd.from_pandas(emb_df)
+    qids = [0, 3]
+    qm = np.stack([np.asarray(emb_df["embedding"].iloc[q], dtype=np.float64) for q in qids])
+    approx = ann.ivf_topk_cosine(ds, qm, np.array(qids), k=5, n_clusters=8, n_probe=4)
+    exact = brute_topk(emb_df, qids, k=5)
+    rec = len(set(map(tuple, approx[["q_id", "vec_id"]].values))
+              & set(map(tuple, exact[["q_id", "vec_id"]].values))) / len(exact)
+    assert rec >= 0.6
+    assert ((approx["q_id"] == 0) & (approx["vec_id"] == 0) & (approx["rank"] == 1)).any()
+
+
+def test_kmeans_deterministic():
+    rng = np.random.default_rng(1)
+    m = rng.normal(size=(100, 8))
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    c1 = ann.kmeans_fit(m, 5, seed=3)
+    c2 = ann.kmeans_fit(m, 5, seed=3)
+    assert (c1 == c2).all()
