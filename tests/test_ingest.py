@@ -109,3 +109,37 @@ def test_dedup_within_batch():
     out = dedup_within_batch(t, "phash", "image_id")
     assert out["phash"].to_pylist() == [1, 2, 5]
     assert out["image_id"].to_pylist() == ["b", "c", "a"]
+
+
+def test_ingest_sharded_resume(ray_session, corpus_tab, tmp_path):
+    """Shard-granular resumable ingest: commit per input-file-group
+    partitions, global dedup as per-shard delete views, rerun skips all."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from logcrawler_ray.pipelines.ingest import ingest_sharded, read_sharded
+    from logcrawler_ray.sources.store import ImageStore
+
+    # write the corpus as 4 input files
+    files = []
+    for i in range(4):
+        p = str(tmp_path / f"in-{i}.parquet")
+        pq.write_table(corpus_tab.slice(i * 24, 24), p)
+        files.append(p)
+
+    store = ImageStore(str(tmp_path / "store"))
+    pid = ingest_sharded(files, store, pid="sh", files_per_shard=2, concurrency=None,
+                         batch_size=32)
+    out = read_sharded(store, pid).to_pandas()
+    uniq = len(set(corpus_tab["phash"].to_pylist()))
+    assert len(out) == uniq
+    assert len(set(out["phash"])) == uniq
+
+    # shard manifests exist; rerun = all skipped, identical result
+    assert store.is_done("sh-shard-00000") and store.is_done("sh-shard-00001")
+    mtimes = {p: os.path.getmtime(store._manifest_path(p)) for p in store.partitions()}
+    pid2 = ingest_sharded(files, store, pid="sh", files_per_shard=2, concurrency=None)
+    assert pid2 == pid
+    for p, t in mtimes.items():
+        assert os.path.getmtime(store._manifest_path(p)) == t  # untouched
