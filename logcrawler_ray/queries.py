@@ -977,6 +977,66 @@ def q37_name_prefixes(sf_dir: str):
     )
 
 
+@_q(
+    "q40_union_counts",
+    """
+    SELECT kind, COUNT(*) AS n FROM (
+      SELECT 'click' AS kind FROM events WHERE event_type = 'click'
+      UNION ALL
+      SELECT 'purchase' AS kind FROM events WHERE event_type = 'purchase')
+    GROUP BY kind
+    """,
+)
+def q40_union_counts(sf_dir: str):
+    """Dataset.union coverage with an oracle."""
+    from ray.data.aggregate import Count
+
+    def tag(kind):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table({"kind": pa.array([kind] * t.num_rows, pa.string())})
+
+        return fn
+
+    clicks = _read(sf_dir, "events", columns=["event_type"],
+                   filter=(pc.field("event_type") == "click")).map_batches(
+        tag("click"), batch_format="pyarrow")
+    purchases = _read(sf_dir, "events", columns=["event_type"],
+                      filter=(pc.field("event_type") == "purchase")).map_batches(
+        tag("purchase"), batch_format="pyarrow")
+    return clicks.union(purchases).groupby("kind").aggregate(Count(alias_name="n"))
+
+
+@_q(
+    "q41_median_order_value",
+    """
+    SELECT o_orderpriority,
+           CAST(ROUND(2 * median(CAST(ROUND(o_totalprice * 100) AS BIGINT)))
+                AS BIGINT) AS median2_e2
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q41_median_order_value(sf_dir: str):
+    """Exact per-group median via ordered map_groups (groups fit a task;
+    a global median at 10^10 rows would use the sort+index-probe or a KLL
+    sketch instead — documented trade). Output is 2x the median in integer
+    cents — always an exact integer (sum of the two middle values), immune
+    to interpolation-rounding differences between engines."""
+
+    def med(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(df["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        m2 = int(round(2 * float(np.median(cents))))
+        return pd.DataFrame({
+            "o_orderpriority": [df["o_orderpriority"].iloc[0]],
+            "median2_e2": [np.int64(m2)],
+        })
+
+    return (
+        _read(sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"])
+        .groupby("o_orderpriority")
+        .map_groups(med, batch_format="pandas")
+    )
+
+
 @_q("q30_crawl")
 def q30_crawl(sf_dir: str):
     """The full crawl engine, deterministically: frontier + politeness +
