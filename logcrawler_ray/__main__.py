@@ -1,0 +1,141 @@
+"""CLI entry points — the reference's per-script flag surface (SURVEY.md
+§2.9: ``--force`` recompute, ``--reverse`` traversal order,
+02_combine_logs.py:216-219) re-expressed as one command:
+
+  python -m logcrawler_ray crawl  --store DIR --ckpt DIR [--seeds N]
+         [--resume] [--force] [--reverse] [--waves N] [--wave-size N] ...
+  python -m logcrawler_ray ingest --input GLOB --store DIR [--pid P]
+         [--force] [--shards-of N]
+  python -m logcrawler_ray stats  --store DIR --pid P [--force]
+  python -m logcrawler_ray report --store DIR
+
+The CLI owns its Ray session (guarded init; the driver contract in
+__ray_entry__.py never goes through here).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import shutil
+import sys
+
+
+def _ray_session():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def cmd_crawl(args) -> int:
+    from .pipelines.crawl import CrawlConfig, CrawlEngine
+
+    _ray_session()
+    if args.force:
+        shutil.rmtree(args.store, ignore_errors=True)
+        shutil.rmtree(args.ckpt, ignore_errors=True)
+    cfg = CrawlConfig(seed=args.seed, n_hosts=args.hosts, n_shards=args.shards,
+                      wave_size=args.wave_size, max_waves=args.waves,
+                      max_depth=args.depth,
+                      priority_mode="reverse" if args.reverse else "hash")
+    eng = CrawlEngine(cfg, args.store, args.ckpt)
+    seeds = None if args.resume else cfg.web().seed_urls(args.seeds)
+    metrics = eng.run(seeds=seeds)
+    print(json.dumps(metrics))
+    return 0
+
+
+def cmd_ingest(args) -> int:
+    from .pipelines.ingest import ingest_sharded
+    from .sources.store import ImageStore
+
+    _ray_session()
+    files = sorted(glob.glob(args.input))
+    if not files:
+        print(f"no input files match {args.input}", file=sys.stderr)
+        return 2
+    store = ImageStore(args.store)
+    if args.force:
+        shutil.rmtree(args.store, ignore_errors=True)
+        store = ImageStore(args.store)
+    pid = ingest_sharded(files, store, pid=args.pid, files_per_shard=args.shards_of)
+    print(json.dumps({"pid": pid, "rows": store.rows(pid) if store.is_done(pid) else None,
+                      "partitions": store.partitions()}))
+    return 0
+
+
+def cmd_stats(args) -> int:
+    from .pipelines.update import update_image_stats
+    from .sources.store import ImageStore
+
+    _ray_session()
+    store = ImageStore(args.store)
+    n = update_image_stats(store, args.pid, force=args.force)
+    print(json.dumps({"updated": n}))
+    return 0
+
+
+def cmd_report(args) -> int:
+    from .sources.store import ImageStore
+
+    store = ImageStore(args.store)
+    out = []
+    for pid in store.partitions():
+        m = store.manifest(pid)
+        out.append({"pid": pid, "rows": m["rows"], "view": bool(m.get("view")),
+                    "meta": m.get("meta", {})})
+    print(json.dumps({"partitions": out, "total_rows": store.rows()}))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="logcrawler_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("crawl", help="run the frontier crawl on the synthetic web")
+    c.add_argument("--store", required=True)
+    c.add_argument("--ckpt", required=True)
+    c.add_argument("--seeds", type=int, default=64)
+    c.add_argument("--seed", type=int, default=42)
+    c.add_argument("--hosts", type=int, default=12)
+    c.add_argument("--shards", type=int, default=4)
+    c.add_argument("--waves", type=int, default=8)
+    c.add_argument("--wave-size", type=int, default=256)
+    c.add_argument("--depth", type=int, default=4)
+    c.add_argument("--resume", action="store_true",
+                   help="resume from the latest checkpoint instead of seeding")
+    c.add_argument("--force", action="store_true",
+                   help="wipe store+checkpoints first (the reference's --force)")
+    c.add_argument("--reverse", action="store_true",
+                   help="invert priorities (the reference's --reverse)")
+    c.set_defaults(fn=cmd_crawl)
+
+    i = sub.add_parser("ingest", help="decode+dedup a parquet corpus into the store")
+    i.add_argument("--input", required=True, help="glob of input parquet files")
+    i.add_argument("--store", required=True)
+    i.add_argument("--pid", default="ingest")
+    i.add_argument("--shards-of", type=int, default=8, help="input files per shard")
+    i.add_argument("--force", action="store_true")
+    i.set_defaults(fn=cmd_ingest)
+
+    s = sub.add_parser("stats", help="recompute stats columns for a partition")
+    s.add_argument("--store", required=True)
+    s.add_argument("--pid", required=True)
+    s.add_argument("--force", action="store_true")
+    s.set_defaults(fn=cmd_stats)
+
+    r = sub.add_parser("report", help="partition/lineage report from manifests")
+    r.add_argument("--store", required=True)
+    r.set_defaults(fn=cmd_report)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -71,6 +71,7 @@ class CrawlConfig:
     # serial reference executor always runs shards in-process
     use_shard_actors: bool = True
     wave_blocks: int = 64  # blocks per wave Dataset (intra-wave parallelism)
+    priority_mode: str = "hash"  # hash | fifo | reverse (the --reverse analog)
     web_params: dict = field(default_factory=dict)
 
     def web(self) -> SyntheticWeb:
@@ -78,8 +79,15 @@ class CrawlConfig:
                             pages_per_host=self.pages_per_host, **self.web_params)
 
 
-def url_priority(url: str, seed: int) -> int:
-    return int(splitmix64(np.uint64(hash64_str(url)) ^ np.uint64(seed)) % np.uint64(10))
+def url_priority(url: str, seed: int, mode: str = "hash") -> int:
+    """Priority assignment. "hash" = stable pseudo-random (default);
+    "fifo" = all equal (pure admission order); "reverse" = inverted hash —
+    the analog of the reference's ``--reverse`` traversal flag
+    (02_combine_logs.py:216-219, used there for manual work sharing)."""
+    if mode == "fifo":
+        return 0
+    p = int(splitmix64(np.uint64(hash64_str(url)) ^ np.uint64(seed)) % np.uint64(10))
+    return 9 - p if mode == "reverse" else p
 
 
 class CrawlState:
@@ -139,7 +147,8 @@ class CrawlState:
             host = host_of(cu)
             path = cu.split(host, 1)[1] or "/"
             per_shard[self.shard_of(host)].append(
-                (cu, host, path, depth, url_priority(cu, self.cfg.seed)))
+                (cu, host, path, depth,
+                 url_priority(cu, self.cfg.seed, self.cfg.priority_mode)))
         counts = self._call("enqueue_batch", [(b,) for b in per_shard])
         return sum(counts)
 

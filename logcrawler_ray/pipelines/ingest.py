@@ -43,9 +43,12 @@ def decode_pipeline(ds, *, concurrency: int | tuple[int, int] | None = 4,
                     batch_size: int = 64, keep_bytes: bool = True):
     """read -> DecodeStats -> decode_ok filter. Returns lazy Dataset.
 
-    ``concurrency=None`` runs the stage as stateless tasks (no pool startup
-    cost; right when per-actor state is cheap, as with the pure-numpy
-    codecs); an int/tuple keeps the actor-pool shape for expensive state.
+    ``concurrency=None`` (default) runs the stage as stateless tasks (no
+    pool startup cost; right when per-actor state is cheap, as with the
+    pure-numpy codecs); an int/tuple keeps the actor-pool shape for
+    expensive state. CAUTION: a FIXED pool equal to the cluster's CPU
+    count starves the read/write stages and deadlocks the pipeline —
+    always leave headroom (bench uses NUM_CPUS*3//4).
     """
     if concurrency is None:
         out = ds.map_batches(
@@ -67,7 +70,7 @@ def decode_pipeline(ds, *, concurrency: int | tuple[int, int] | None = 4,
 
 def ingest_sharded(source_files: list[str], store: ImageStore, *,
                    pid: str = "ingest", files_per_shard: int = 8,
-                   concurrency: int | tuple[int, int] | None = 4,
+                   concurrency: int | tuple[int, int] | None = None,
                    batch_size: int = 64, n_buckets: int = DEFAULT_BUCKETS) -> str:
     """Resumable-at-shard-granularity ingest over a list of input files.
 
@@ -131,7 +134,7 @@ def read_sharded(store: ImageStore, pid: str, columns: list[str] | None = None):
 
 
 def ingest(source_ds, store: ImageStore | None = None, pid: str = "ingest", *,
-           concurrency: int | tuple[int, int] = 4, batch_size: int = 64,
+           concurrency: int | tuple[int, int] | None = None, batch_size: int = 64,
            dedup: bool = True, n_buckets: int = DEFAULT_BUCKETS,
            keep_bytes: bool = True):
     """Run the flagship pipeline; returns the final Dataset.

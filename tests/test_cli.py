@@ -1,0 +1,70 @@
+"""CLI surface tests (in-process main(); the CLI guards its own ray.init
+so running under the session fixture is a no-op init)."""
+
+import json
+
+import pyarrow.parquet as pq
+import pytest
+
+from logcrawler_ray.__main__ import main
+from logcrawler_ray.sources.corpus import corpus_table
+
+
+def test_cli_crawl_and_resume_and_report(ray_session, tmp_path, capsys):
+    store, ckpt = str(tmp_path / "s"), str(tmp_path / "c")
+    rc = main(["crawl", "--store", store, "--ckpt", ckpt, "--seeds", "8",
+               "--hosts", "4", "--waves", "2", "--wave-size", "32"])
+    assert rc == 0
+    m1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert m1["fetched"] > 0
+
+    rc = main(["crawl", "--store", store, "--ckpt", ckpt, "--resume",
+               "--hosts", "4", "--waves", "2", "--wave-size", "32"])
+    assert rc == 0
+    m2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert m2["seen"] >= m1["seen"]
+
+    rc = main(["report", "--store", store])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["total_rows"] > 0
+    assert any(p["meta"].get("wave") == 0 for p in rep["partitions"])
+
+
+def test_cli_reverse_changes_order(ray_session, tmp_path, capsys):
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    main(["crawl", "--store", a + "/s", "--ckpt", a + "/c", "--seeds", "8",
+          "--hosts", "4", "--waves", "1", "--wave-size", "16"])
+    capsys.readouterr()
+    main(["crawl", "--store", b + "/s", "--ckpt", b + "/c", "--seeds", "8",
+          "--hosts", "4", "--waves", "1", "--wave-size", "16", "--reverse"])
+    capsys.readouterr()
+    from logcrawler_ray.state.checkpoint import CheckpointDir
+
+    la = CheckpointDir(a + "/c").latest()[1]["state"]["fetch_log"]
+    lb = CheckpointDir(b + "/c").latest()[1]["state"]["fetch_log"]
+    assert [u for _, _, u, _ in la] != [u for _, _, u, _ in lb]
+    assert {u for _, _, u, _ in la} == {u for _, _, u, _ in lb}  # same wave set
+
+
+def test_cli_ingest_and_stats(ray_session, tmp_path, capsys):
+    tab = corpus_table(40, seed=11)
+    inp = tmp_path / "in"
+    inp.mkdir()
+    for i in range(2):
+        pq.write_table(tab.slice(i * 20, 20), str(inp / f"f{i}.parquet"))
+    store = str(tmp_path / "store")
+    rc = main(["ingest", "--input", str(inp / "*.parquet"), "--store", store,
+               "--shards-of", "1"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["pid"] == "ingest"
+    rc = main(["report", "--store", store])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["total_rows"] > 0
+
+
+def test_cli_ingest_missing_input(ray_session, tmp_path, capsys):
+    rc = main(["ingest", "--input", str(tmp_path / "nope*.parquet"),
+               "--store", str(tmp_path / "s")])
+    assert rc == 2
