@@ -51,3 +51,15 @@ def decode(data: bytes, w: int | None = None, h: int | None = None) -> np.ndarra
     # un-invert, then the reference's shared yuv422 path (06:243-267)
     yuv = (255 - inverted).astype(np.uint8)
     return yuv422.decode(yuv.tobytes(), pw, ph)
+
+
+def decode_luma(data: bytes, w: int | None = None, h: int | None = None) -> np.ndarray:
+    """Stats/phash fast path: un-invert, take the Y plane only."""
+    if data[:4] != MAGIC:
+        raise ValueError("not a qjpeg payload")
+    pw, ph = struct.unpack_from("<HH", data, 4)
+    if w is not None and (pw != w or ph != h):
+        raise ValueError(f"qjpeg dims {(pw, ph)} != expected {(w, h)}")
+    inverted = np.frombuffer(zlib.decompress(data[8:]), dtype=np.uint8)
+    yuv = (255 - inverted).astype(np.uint8)
+    return yuv422.decode_luma(yuv, pw, ph)

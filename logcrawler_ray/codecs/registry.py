@@ -38,13 +38,35 @@ _CODECS: dict[str, tuple[Callable, Callable]] = {
     "yuv422": (yuv422.encode, yuv422.decode),
 }
 
+# fmt -> decode_gray(bytes, w, h) -> float32 luma; formats without a fast
+# path fall back to grayscale(decode(...)). Y-plane formats skip the whole
+# RGB conversion in the stats/phash path (the engine's luma DEFINITION for
+# those formats — consistent across corpus, pipeline, oracles).
+_GRAY_FAST: dict[str, Callable] = {
+    "jpeg": qjpeg.decode_luma,
+    "yuv422": yuv422.decode_luma,
+}
+
 LOSSLESS = {"png", "yuv422"}  # yuv422 is lossless *as stored bytes -> pixels*
 
 
-def register(fmt: str, encode: Callable, decode: Callable, lossless: bool = False) -> None:
+def register(fmt: str, encode: Callable, decode: Callable, lossless: bool = False,
+             decode_gray_fn: Callable | None = None) -> None:
     _CODECS[fmt] = (encode, decode)
     if lossless:
         LOSSLESS.add(fmt)
+    if decode_gray_fn is not None:
+        _GRAY_FAST[fmt] = decode_gray_fn
+
+
+def decode_gray(fmt: str, data: bytes, w: int, h: int) -> np.ndarray:
+    """bytes -> float32 (h, w) luma — the stats/phash input."""
+    fast = _GRAY_FAST.get(fmt)
+    if fast is not None:
+        return fast(data, w, h)
+    from ..functions.phash import grayscale
+
+    return grayscale(decode(fmt, data, w, h)[None])[0]
 
 
 def formats() -> list[str]:

@@ -105,6 +105,21 @@ def decode(data: bytes, w: int, h: int) -> np.ndarray:
     return ycbcr_to_rgb(yuv422_to_ycbcr(data, w, h))
 
 
+def decode_luma(data: bytes, w: int, h: int) -> np.ndarray:
+    """YUYV bytes -> float32 (h, w) luma, straight from the Y plane.
+
+    The stats/phash fast path: Y of the stored stream IS the luma — no
+    chroma upsample, no RGB conversion, no 601 re-projection. Within +-1
+    gray level of ``grayscale(decode(...))`` (rounding through the RGB
+    round-trip); the engine defines its luma as THIS for yuv-sourced
+    formats, consistently across corpus generation, pipeline and oracles.
+    """
+    buf = np.frombuffer(data, dtype=np.uint8) if not isinstance(data, np.ndarray) else data
+    if buf.size != w * h * 2:
+        raise ValueError(f"yuv422 buffer size {buf.size} != w*h*2 = {w * h * 2}")
+    return buf[0::2].reshape(h, w).astype(np.float32)
+
+
 def encode(rgb: np.ndarray) -> bytes:
     """RGB uint8 (h, w, 3) -> YUYV bytes."""
     return ycbcr_to_yuv422(rgb_to_ycbcr(rgb))

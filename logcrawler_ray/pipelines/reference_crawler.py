@@ -17,7 +17,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..codecs import registry
-from ..functions.phash import phash_batch
+from ..functions.phash import phash_from_gray
 from ..functions.hashing import to_int64
 from ..pipelines.crawl import CrawlConfig, CrawlState, _links_in_order
 import pyarrow as pa
@@ -52,14 +52,15 @@ class SerialCrawler:
                 link_rows["depth"].append(r["depth"])
                 link_rows["links"].append(page["links"])
                 try:
-                    rgb = registry.decode(page["fmt"], page["bytes"], page["w"], page["h"])
+                    luma = registry.decode_gray(page["fmt"], page["bytes"],
+                                                page["w"], page["h"])
                 except Exception:
                     continue
                 self.rows.append({
                     "url": r["url"], "seq": r["seq"], "fetch_time": r["fetch_time"],
                     "image_id": page["image_id"], "fmt": page["fmt"],
                     "w": page["w"], "h": page["h"], "caption": page["caption"],
-                    "phash": to_int64(int(phash_batch(rgb[None])[0])),
+                    "phash": to_int64(int(phash_from_gray(luma[None])[0])),
                 })
             urls, depths = _links_in_order(pa.table({
                 "seq": pa.array(link_rows["seq"], pa.int64()),

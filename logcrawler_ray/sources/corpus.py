@@ -27,7 +27,7 @@ import pyarrow as pa
 
 from ..codecs import registry
 from ..functions.hashing import splitmix64, to_int64
-from ..functions.phash import phash_batch
+from ..functions.phash import phash_from_gray
 from ..functions.urlnorm import host_hash
 
 SIZES = [(64, 48), (96, 64), (128, 96), (320, 240), (640, 480)]
@@ -129,7 +129,7 @@ def corpus_batch(idx: np.ndarray, seed: int = 42, n_rows_hint: int | None = None
             pix_cache[key] = cached
         rgb_by_row[j] = cached
 
-    decoded_by_row: dict[int, np.ndarray] = {}
+    luma_by_row: dict[int, np.ndarray] = {}
     for j in range(n):
         i = int(idx[j])
         host = f"host-{int(host_id[j]):04d}.test"
@@ -139,9 +139,10 @@ def corpus_batch(idx: np.ndarray, seed: int = 42, n_rows_hint: int | None = None
         rgb = rgb_by_row[j]
         blob = registry.encode(fmt, rgb)
         w, h = SIZES[size_idx[j]]
-        # the stored phash is the hash of the *decoded* pixels, so a pipeline
-        # that re-decodes the blob reproduces the column bit-exactly
-        decoded_by_row[j] = rgb if fmt == "png" else registry.decode(fmt, blob, w, h)
+        # the stored phash is the hash of the *decoded luma* (the same
+        # registry.decode_gray path the pipeline uses), so a pipeline that
+        # re-decodes the blob reproduces the column bit-exactly
+        luma_by_row[j] = registry.decode_gray(fmt, blob, w, h)
         image_ids.append(image_id)
         urls.append(f"http://{image_id}")
         hosts.append(host)
@@ -152,8 +153,8 @@ def corpus_batch(idx: np.ndarray, seed: int = 42, n_rows_hint: int | None = None
 
     for size_i in np.unique(size_idx):
         rows = np.nonzero(size_idx == size_i)[0]
-        stack = np.stack([decoded_by_row[j] for j in rows])
-        phashes[rows] = phash_batch(stack)
+        stack = np.stack([luma_by_row[j] for j in rows])
+        phashes[rows] = phash_from_gray(stack)
 
     prio = (splitmix64(idx.astype(np.uint64) ^ np.uint64(0xABCD)) % np.uint64(100)).astype(np.int32)
     return pa.table(

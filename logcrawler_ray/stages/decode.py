@@ -41,6 +41,7 @@ class DecodeStats:
         self.keep_bytes = keep_bytes
         self.keep_pixels = keep_pixels
         self.decode = registry.decode  # bind once per actor
+        self.decode_gray = registry.decode_gray
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -49,11 +50,16 @@ class DecodeStats:
         hs = batch["h"].to_numpy()
         blobs = batch["bytes"].to_pylist()
 
+        # luma path only — Y-plane formats never materialize RGB here
+        # (full RGB is decoded only when keep_pixels is requested)
+        lumas: list[np.ndarray | None] = [None] * n
         decoded: list[np.ndarray | None] = [None] * n
         ok = np.ones(n, dtype=bool)
         for i in range(n):
             try:
-                decoded[i] = self.decode(fmts[i], blobs[i], int(ws[i]), int(hs[i]))
+                lumas[i] = self.decode_gray(fmts[i], blobs[i], int(ws[i]), int(hs[i]))
+                if self.keep_pixels:
+                    decoded[i] = self.decode(fmts[i], blobs[i], int(ws[i]), int(hs[i]))
             except Exception:
                 ok[i] = False
 
@@ -66,8 +72,7 @@ class DecodeStats:
             sizes = hs[good].astype(np.int64) * (1 << 32) + ws[good]
             for s in np.unique(sizes):
                 rows = good[sizes == s]
-                stack = np.stack([decoded[i] for i in rows])
-                gray = grayscale(stack)  # float32, computed ONCE per group
+                gray = np.stack([lumas[i] for i in rows])
                 phash[rows] = phash_from_gray(gray)
                 bright[rows] = brightness_batch(gray)
                 blur[rows] = blurredness_batch(gray)

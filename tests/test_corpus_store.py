@@ -38,10 +38,13 @@ def test_captions_oracle(tab):
 
 
 def test_phash_column_matches_decoded_pixels(tab):
-    """The stored phash is the phash of the decoded payload (exact)."""
+    """The stored phash is the phash of the decoded luma (exact, via the
+    same registry.decode_gray path the pipeline uses)."""
+    from logcrawler_ray.functions.phash import phash_from_gray
+
     for row in tab.slice(0, 30).to_pylist():
-        rgb = registry.decode(row["fmt"], row["bytes"], row["w"], row["h"])
-        assert int(phash_batch(rgb[None])[0]) == to_uint64(row["phash"])
+        luma = registry.decode_gray(row["fmt"], row["bytes"], row["w"], row["h"])
+        assert int(phash_from_gray(luma[None])[0]) == to_uint64(row["phash"])
 
 
 def test_planted_duplicates(tab):

@@ -41,8 +41,7 @@ def test_decode_stage_stats_match_oracle(source_ds, corpus_tab):
     rows = {r["image_id"]: r for r in corpus_tab.to_pylist()}
     for _, got in out.head(20).iterrows():
         r = rows[got["image_id"]]
-        rgb = registry.decode(r["fmt"], r["bytes"], r["w"], r["h"])
-        g = grayscale(rgb[None])
+        g = registry.decode_gray(r["fmt"], r["bytes"], r["w"], r["h"])[None]
         assert got["brightness"] == pytest.approx(brightness_batch(g)[0])
         assert got["blurredness"] == pytest.approx(blurredness_batch(g)[0])
         assert got["resolution"] == f"{r['w']}x{r['h']}"
