@@ -28,7 +28,7 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-BENCH_ROWS = int(os.environ.get("GRAFT_BENCH_ROWS", "6000"))
+BENCH_ROWS = int(os.environ.get("GRAFT_BENCH_ROWS", "20000"))
 SEED = 42
 CODEC_VERSION = "v2"  # bump when phash/decode semantics change (cache key)
 CORPUS_CACHE = f"/tmp/graft_bench/corpus_{CODEC_VERSION}_n{BENCH_ROWS}_s{SEED}"
