@@ -1037,6 +1037,41 @@ def q41_median_order_value(sf_dir: str):
     )
 
 
+@_q(
+    "q42_value_std_by_type",
+    """
+    SELECT event_type,
+           ROUND(sqrt((SUM(e2 * e2) / 10000.0
+                       - (SUM(e2) / 100.0) * (SUM(e2) / 100.0) / COUNT(*))
+                      / (COUNT(*) - 1)), 4) AS std_value
+    FROM (SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS e2 FROM events)
+    GROUP BY event_type
+    """,
+)
+def q42_value_std_by_type(sf_dir: str):
+    """Sample stddev via integer-cents moment sums — both engines derive
+    std from IDENTICAL integer aggregates, so the doubles match bit-for-bit
+    (a naive STDDEV_SAMP would differ by accumulation order)."""
+    from ray.data.aggregate import Count, Sum
+
+    def mom(t: pa.Table) -> pa.Table:
+        e2 = np.round(t["value"].to_numpy() * 100).astype(np.int64)
+        return pa.table({"event_type": t["event_type"], "e2": e2, "e2sq": e2 * e2})
+
+    out = (
+        _read(sf_dir, "events", columns=["event_type", "value"])
+        .map_batches(mom, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("e2", alias_name="s1"), Sum("e2sq", alias_name="s2"),
+                   Count(alias_name="n"))
+        .to_pandas()
+    )
+    s1, s2, n = out.pop("s1"), out.pop("s2"), out.pop("n")
+    out["std_value"] = np.sqrt(
+        (s2 / 10000.0 - (s1 / 100.0) * (s1 / 100.0) / n) / (n - 1)).round(4)
+    return out
+
+
 @_q("q30_crawl")
 def q30_crawl(sf_dir: str):
     """The full crawl engine, deterministically: frontier + politeness +

@@ -205,3 +205,13 @@ def test_actor_pool_mode_equivalence(ray_session, serial_run, tmp_path):
     got = {(r["image_id"], r["phash"]) for r in tab.to_pylist()}
     expect = {(r["image_id"], r["phash"]) for r in sc.rows if r["seq"] is not None}
     assert got <= expect and len(got) > 0
+
+
+def test_q25_and_q30_deterministic_across_runs(ray_session):
+    """Driver rows-only checks hash values across rounds — guard that the
+    deterministic queries produce identical results on repeated runs."""
+    from logcrawler_ray import queries as q
+
+    a = q.QUERIES["q30_crawl"]("/root/testdata/sf0.001")
+    b = q.QUERIES["q30_crawl"]("/root/testdata/sf0.001")
+    assert a.equals(b)
