@@ -400,10 +400,14 @@ def q12_asof_click_purchase(sf_dir: str):
                       filter=(pc.field("event_type") == "purchase")).drop_columns(["event_type"])
     joined = asof_join(clicks, purchases, on="ts", by="user_id").to_pandas()
     out = joined[["event_id", "user_id"]].copy()
+    # asof_join preserves left dtypes, but belt-and-braces: the driver's
+    # value hash is type-sensitive (int64 vs float64 = red cell).
+    out["event_id"] = out["event_id"].astype(np.int64)
+    out["user_id"] = out["user_id"].astype(np.int64)
     ts_r = pd.to_datetime(joined["ts_right"])
-    us = ts_r.astype("datetime64[us]").view("int64")  # NaT -> int64 min
+    us = ts_r.to_numpy().astype("datetime64[us]").astype(np.int64)  # NaT -> int64 min
     out["purchase_ts_us"] = np.where(ts_r.isna(), np.int64(-1), us).astype(np.int64)
-    return out
+    return out.sort_values(["event_id"], kind="mergesort").reset_index(drop=True)
 
 
 @_q(

@@ -136,7 +136,9 @@ class ImageStore:
         delete-vector pattern of lakehouse formats (and Lance deletions):
         no second copy of the payload bytes is ever written. Returns the
         view's row count."""
-        keys = list(delete_keys)
+        # dedupe + sort: a duplicate key must not double-count against the
+        # manifest row total the readers and resume logic trust
+        keys = sorted(set(delete_keys))
         tmp_dir = self._part_dir(pid) + f".tmp.{uuid.uuid4().hex}"
         os.makedirs(tmp_dir)
         pq.write_table(pa.table({key_col: keys}),

@@ -33,6 +33,20 @@ def asof_join(left_ds, right_ds, *, on: str, by: str, direction: str = "backward
     """
     r_cols = right_cols or []
 
+    # Capture each side's schema up front so per_group can slice explicit
+    # column lists (never dropna(axis=1), which nukes ALL columns on a
+    # one-sided-empty group) and restore left dtypes after the union
+    # null-fill upcasts them (int64 -> float64 drift otherwise).
+    sch = left_ds.schema()
+    l_names = list(sch.names)
+    l_dtypes: dict[str, np.dtype] = {}
+    for n, t in zip(sch.names, sch.types):
+        if isinstance(t, pa.DataType):  # arrow-backed blocks
+            l_dtypes[n] = pa.schema([(n, t)]).empty_table().to_pandas().dtypes[n]
+        else:  # pandas-backed blocks: numpy dtype already
+            l_dtypes[n] = t
+    on_is_ts = pd.api.types.is_datetime64_any_dtype(l_dtypes[on])
+
     tag_l = left_ds.map_batches(
         lambda t: t.append_column("__side", pa.array(np.zeros(t.num_rows, dtype=np.int8))),
         batch_format="pyarrow",
@@ -43,29 +57,37 @@ def asof_join(left_ds, right_ds, *, on: str, by: str, direction: str = "backward
     )
     both = tag_l.union(tag_r)
 
+    def empty_out() -> pd.DataFrame:
+        out = pd.DataFrame({c: pd.Series([], dtype=l_dtypes[c]) for c in l_names})
+        out[f"{on}{suffix}"] = pd.Series(
+            [], dtype="datetime64[us]" if on_is_ts else "float64")
+        for c in r_cols:
+            out[c + suffix if c in l_names else c] = pd.Series([], dtype="float64")
+        return out
+
     def per_group(df: pd.DataFrame) -> pd.DataFrame:
-        left = df[df["__side"] == 0].drop(columns="__side").sort_values(on, kind="mergesort")
-        right = df[df["__side"] == 1].drop(columns="__side").sort_values(on, kind="mergesort")
-        left = left.dropna(axis=1, how="all")
-        rkeep = right[[on] + r_cols].dropna(axis=1, how="all")
+        left = df.loc[df["__side"] == 0, l_names].sort_values(on, kind="mergesort")
+        if left.empty:
+            return empty_out()
+        for c, dt in l_dtypes.items():
+            if left[c].dtype != dt:
+                left[c] = left[c].astype(dt)
+        right = df.loc[df["__side"] == 1, [on] + r_cols].sort_values(on, kind="mergesort")
         if right.empty:
             out = left.copy()
-            out[f"{on}{suffix}"] = pd.Series([pd.NaT] * len(out), dtype=f"datetime64[us]") \
-                if np.issubdtype(left[on].dtype, np.datetime64) else np.nan
+            out[f"{on}{suffix}"] = pd.Series(
+                [pd.NaT] * len(out), dtype="datetime64[us]", index=out.index) \
+                if on_is_ts else np.nan
             for c in r_cols:
-                out[c + suffix] = np.nan
+                out[c + suffix if c in l_names else c] = np.nan
             return out
-        merged = pd.merge_asof(
+        rkeep = right.copy()
+        # keep the matched right time as its own column (merge_asof consumes
+        # the shared `on` key, so alias it before the merge)
+        rkeep[f"{on}{suffix}"] = rkeep[on]
+        return pd.merge_asof(
             left, rkeep, on=on, direction=direction, suffixes=("", suffix)
         )
-        if f"{on}{suffix}" not in merged.columns:
-            # pandas keeps only the left `on`; recompute the matched right time
-            rt = right[on].to_numpy()
-            pos = np.searchsorted(rt, left[on].to_numpy(), side="right") - 1
-            matched = np.where(pos >= 0, rt[pos.clip(0)], np.datetime64("NaT")
-                               if np.issubdtype(left[on].dtype, np.datetime64) else np.nan)
-            merged[f"{on}{suffix}"] = matched
-        return merged
 
     return both.groupby(by).map_groups(per_group, batch_format="pandas")
 

@@ -96,3 +96,33 @@ def test_asof_join_backward(ray_session):
     assert got[1] == 15
     assert np.isnan(got[2])  # ts=5, nothing before
     assert np.isnan(got[3])  # user 2: right ts=99 > 7
+    # round-1 red cell regression: union null-fill must NOT upcast the
+    # left's int columns to float (driver hash is type-sensitive)
+    assert out["event_id"].dtype == np.int64
+    assert out["user_id"].dtype == np.int64
+
+
+def test_asof_join_right_only_group(ray_session):
+    """A by-group with only right-side rows must not crash (round-1 ADVICE:
+    dropna(axis=1) on the empty left frame dropped every column and
+    merge_asof raised KeyError). It contributes no output rows."""
+    import ray.data as rd
+
+    left = pd.DataFrame({"user_id": [1, 1], "ts": [10, 20], "event_id": [0, 1]})
+    right = pd.DataFrame({"user_id": [1, 3, 3], "ts": [8, 5, 6]})
+    out = asof_join(rd.from_pandas(left), rd.from_pandas(right), on="ts", by="user_id").to_pandas()
+    assert sorted(out["event_id"]) == [0, 1]
+    assert set(out["user_id"]) == {1}
+    assert out["event_id"].dtype == np.int64
+
+
+def test_asof_join_left_only_group_typed_nulls(ray_session):
+    """Groups with no right rows keep typed left columns and NaN ts_right."""
+    import ray.data as rd
+
+    left = pd.DataFrame({"user_id": [5, 5], "ts": [1, 2], "event_id": [7, 8]})
+    right = pd.DataFrame({"user_id": [9], "ts": [100]})
+    out = asof_join(rd.from_pandas(left), rd.from_pandas(right), on="ts", by="user_id").to_pandas()
+    g5 = out[out["user_id"] == 5]
+    assert len(g5) == 2 and g5["ts_right"].isna().all()
+    assert g5["event_id"].dtype == np.int64

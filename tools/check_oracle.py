@@ -47,6 +47,18 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
+def _kind(s: pd.Series) -> str:
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "ts"
+    return "obj"
+
+
 def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> list[str]:
     problems = []
     if set(ray_df.columns) != set(sql_df.columns):
@@ -54,6 +66,15 @@ def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> list[str]:
         return problems
     if len(ray_df) != len(sql_df):
         problems.append(f"rows: ray={len(ray_df)} sql={len(sql_df)}")
+    # The driver's value hash is type-sensitive: an int column that drifts
+    # to float on the Ray side hashes differently even when every value is
+    # equal (the exact failure mode of round-1's q12 red cell). Flag it.
+    for c in ray_df.columns:
+        kr, ks = _kind(ray_df[c]), _kind(sql_df[c])
+        if kr != ks and {kr, ks} <= {"int", "float"}:
+            problems.append(
+                f"col {c}: dtype drift ray={ray_df[c].dtype} vs sql={sql_df[c].dtype} "
+                "(driver hash is type-sensitive)")
     a, b = normalize(ray_df), normalize(sql_df)
     if len(a) == len(b):
         for c in a.columns:
