@@ -168,17 +168,18 @@ def q04_orders_by_priority(sf_dir: str):
     """,
 )
 def q05_nation_region(sf_dir: str):
-    """Broadcast hash join (J3 pattern): tiny side shipped once via ray.put."""
+    """Broadcast hash join (J3 pattern): tiny side shipped once via ray.put,
+    probed vectorized (pc.index_in + take via stages/broadcast.py)."""
     import ray
 
-    region = {r["r_regionkey"]: r["r_name"] for r in _read(sf_dir, "region").take_all()}
-    ref = ray.put(region)
+    from .stages.broadcast import broadcast_map, probe_values
+
+    ref = broadcast_map(_read(sf_dir, "region"), "r_regionkey", "r_name")
 
     def attach(t: pa.Table) -> pa.Table:
-        rmap = ray.get(ref)
-        r_name = [rmap[k] for k in t["n_regionkey"].to_pylist()]
+        keys, vals = ray.get(ref)
         return pa.table({"n_nationkey": t["n_nationkey"], "n_name": t["n_name"],
-                         "r_name": pa.array(r_name, pa.string())})
+                         "r_name": probe_values(t["n_regionkey"], keys, vals)})
 
     return _read(sf_dir, "nation").map_batches(attach, batch_format="pyarrow")
 
@@ -197,36 +198,45 @@ def q05_nation_region(sf_dir: str):
     """,
 )
 def q06_revenue_by_nation(sf_dir: str):
-    """Multi-hop star join: every dimension is broadcast (orders->custkey,
-    customer->nationkey, nation->name), the fact table streams; revenue is
-    pre-aggregated per batch (combiner) so the final groupby sees one row
-    per nation per block — the §4 'push aggregation partial' rule."""
+    """Star join, scale-correct shape (round-1 What's-wrong #2 fix):
+    lineitem⋈orders is fact⋈fact, so it runs as a hash-partitioned
+    ``Dataset.join`` — the #2 table is NEVER broadcast. Only the
+    dimension-sized custkey→nation-name map ships via ray.put, probed
+    vectorized; revenue is pre-aggregated per batch (combiner) so the
+    final groupby sees one row per nation per block."""
     import ray
+    from ray.data.aggregate import Sum
 
-    o = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]).to_pandas()
+    from .stages.broadcast import broadcast_map_from_dict, probe_values
+
     c = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
     n = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
-    ord_cust = dict(zip(o["o_orderkey"], o["o_custkey"]))
-    cust_nat = dict(zip(c["c_custkey"], c["c_nationkey"]))
     nat_name = dict(zip(n["n_nationkey"], n["n_name"]))
-    ref = ray.put((ord_cust, cust_nat, nat_name))
+    ref = broadcast_map_from_dict(
+        dict(zip(c["c_custkey"], c["c_nationkey"].map(nat_name))))
 
-    def partial(t: pa.Table) -> pa.Table:
-        oc, cn, nn = ray.get(ref)
-        keys = t["l_orderkey"].to_numpy()
+    def cents(t: pa.Table) -> pa.Table:
         price_e2 = np.round(t["l_extendedprice"].to_numpy() * 100).astype(np.int64)
         disc_e2 = np.round(t["l_discount"].to_numpy() * 100).astype(np.int64)
-        rev_e4 = price_e2 * (100 - disc_e2)
-        names = [nn[cn[oc[k]]] for k in keys]
-        df = pd.DataFrame({"n_name": names, "rev_e4": rev_e4})
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "rev_e4": price_e2 * (100 - disc_e2)})
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount"]
+               ).map_batches(cents, batch_format="pyarrow")
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    joined = li.join(orders, join_type="inner", num_partitions=16,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys, vals = ray.get(ref)
+        df = pd.DataFrame({"n_name": probe_values(t["o_custkey"], keys, vals).to_pandas(),
+                           "rev_e4": t["rev_e4"].to_numpy()})
         g = df.groupby("n_name", as_index=False)["rev_e4"].sum()
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    from ray.data.aggregate import Sum
-
-    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
     out = (
-        ds.map_batches(partial, batch_format="pyarrow")
+        joined.map_batches(partial, batch_format="pyarrow")
         .groupby("n_name")
         .aggregate(Sum("rev_e4", alias_name="rev_e4"))
         .to_pandas()
@@ -244,24 +254,25 @@ def q06_revenue_by_nation(sf_dir: str):
     """,
 )
 def q07_customer_order_counts(sf_dir: str):
-    """Left outer join + count (J2 left-join semantics: unmatched kept)."""
+    """Left outer join + count (J2 left-join semantics: unmatched kept).
+    The aggregate shrinks orders to one row per customer BEFORE the
+    broadcast (size-guarded), probed vectorized; miss -> 0."""
     import ray
     from ray.data.aggregate import Count
+
+    from .stages.broadcast import broadcast_map, probe_values
 
     counts = (
         _read(sf_dir, "orders", columns=["o_custkey"])
         .groupby("o_custkey")
         .aggregate(Count(alias_name="n_orders"))
-        .to_pandas()
     )
-    cmap = dict(zip(counts["o_custkey"], counts["n_orders"]))
-    ref = ray.put(cmap)
+    ref = broadcast_map(counts, "o_custkey", "n_orders")
 
     def attach(t: pa.Table) -> pa.Table:
-        m = ray.get(ref)
-        keys = t["c_custkey"].to_pylist()
-        return pa.table({"c_custkey": t["c_custkey"],
-                         "n_orders": pa.array([m.get(k, 0) for k in keys], pa.int64())})
+        keys, vals = ray.get(ref)
+        n = pc.fill_null(probe_values(t["c_custkey"], keys, vals), 0)
+        return pa.table({"c_custkey": t["c_custkey"], "n_orders": pc.cast(n, pa.int64())})
 
     return _read(sf_dir, "customer", columns=["c_custkey"]).map_batches(
         attach, batch_format="pyarrow")
@@ -275,18 +286,16 @@ def q07_customer_order_counts(sf_dir: str):
     """,
 )
 def q08_customers_no_orders(sf_dir: str):
-    """Anti-join via broadcast key set (J7's removal semantics, §2.4)."""
+    """Anti-join via size-guarded broadcast key set (J7's removal
+    semantics, §2.4); membership test is vectorized pc.is_in."""
     import ray
 
-    have = set(
-        _read(sf_dir, "orders", columns=["o_custkey"]).unique("o_custkey")
-    )
-    ref = ray.put(frozenset(have))
+    from .stages.broadcast import anti_mask, broadcast_key_set
+
+    ref = broadcast_key_set(_read(sf_dir, "orders", columns=["o_custkey"]), "o_custkey")
 
     def anti(t: pa.Table) -> pa.Table:
-        s = ray.get(ref)
-        mask = [k not in s for k in t["c_custkey"].to_pylist()]
-        return t.filter(pa.array(mask))
+        return t.filter(anti_mask(t["c_custkey"], ray.get(ref)))
 
     ds = _read(sf_dir, "customer", columns=["c_custkey", "c_name"]).map_batches(
         anti, batch_format="pyarrow")
@@ -305,16 +314,16 @@ def q08_customers_no_orders(sf_dir: str):
     """,
 )
 def q09_parts_in_lineitem(sf_dir: str):
-    """Semi-join via broadcast key set."""
+    """Semi-join via size-guarded broadcast key set (vectorized pc.is_in);
+    the distinct runs distributed, only deduplicated keys hit the driver."""
     import ray
 
-    have = set(_read(sf_dir, "lineitem", columns=["l_partkey"]).unique("l_partkey"))
-    ref = ray.put(frozenset(have))
+    from .stages.broadcast import broadcast_key_set, semi_mask
+
+    ref = broadcast_key_set(_read(sf_dir, "lineitem", columns=["l_partkey"]), "l_partkey")
 
     def semi(t: pa.Table) -> pa.Table:
-        s = ray.get(ref)
-        mask = [k in s for k in t["p_partkey"].to_pylist()]
-        return t.filter(pa.array(mask))
+        return t.filter(semi_mask(t["p_partkey"], ray.get(ref)))
 
     return _read(sf_dir, "part", columns=["p_partkey", "p_name"]).map_batches(
         semi, batch_format="pyarrow")

@@ -54,18 +54,22 @@ def frame_join(game_ds, image_ds, how: str = "inner", by: str = "log_id",
 
 def broadcast_lookup(ds, mapping: dict, key: str, out_col: str, miss: str = "null"):
     """Broadcast dict probe: adds ``out_col``; misses -> null (07's policy)
-    or flagged via ``{out_col}_ok`` = False (12's quit() becomes a channel)."""
+    or flagged via ``{out_col}_ok`` = False (12's quit() becomes a channel).
+    The dict ships once as an Arrow (keys, vals) pair and is probed
+    vectorized (pc.index_in + take) — size-guarded, never a per-row loop."""
+    import pyarrow.compute as pc
     import ray
 
-    ref = ray.put(mapping)
+    from .broadcast import broadcast_map_from_dict, probe_values
+
+    ref = broadcast_map_from_dict(mapping)
 
     def probe(t: pa.Table) -> pa.Table:
-        m = ray.get(ref)
-        keys = t[key].to_pylist()
-        vals = [m.get(k) for k in keys]
-        t = t.append_column(out_col, pa.array(vals))
+        keys, vals = ray.get(ref)
+        matched = probe_values(t[key], keys, vals)
+        t = t.append_column(out_col, matched)
         if miss == "error":
-            t = t.append_column(f"{out_col}_ok", pa.array([v is not None for v in vals]))
+            t = t.append_column(f"{out_col}_ok", pc.is_valid(matched))
         return t
 
     return ds.map_batches(probe, batch_format="pyarrow")
