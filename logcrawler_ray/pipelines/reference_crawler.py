@@ -29,6 +29,7 @@ class SerialCrawler:
         self.web = cfg.web()
         self.state = CrawlState(cfg)
         self.rows: list[dict] = []  # committed image rows (ok only)
+        self.fetch_log: list[tuple] = []  # (wave, seq, url, fetch_time)
 
     def run(self, seeds: list[dict], max_waves: int | None = None) -> dict:
         st = self.state
@@ -41,7 +42,7 @@ class SerialCrawler:
             if not emitted:
                 break
             for r in emitted:
-                st.fetch_log.append((st.wave, r["seq"], r["url"], r["fetch_time"]))
+                self.fetch_log.append((st.wave, r["seq"], r["url"], r["fetch_time"]))
             link_rows = {"seq": [], "depth": [], "links": []}
             for r in emitted:
                 try:
@@ -73,14 +74,14 @@ class SerialCrawler:
             waves += 1
         return {
             "waves": waves,
-            "fetched": len(st.fetch_log),
+            "fetched": len(self.fetch_log),
             "written": len(self.rows),
             "seen": st.seen_size(),
         }
 
     # -- equivalence probes ----------------------------------------------
     def fetch_order(self) -> list[tuple]:
-        return list(self.state.fetch_log)
+        return list(self.fetch_log)
 
     def seen_tables(self) -> list[np.ndarray]:
         return self.state.seen_tables()

@@ -1105,7 +1105,7 @@ def q30_crawl(sf_dir: str):
     try:
         eng = CrawlEngine(cfg, root + "/store", root + "/ckpt")
         eng.run(seeds=cfg.web().seed_urls(12))
-        log = eng.state.fetch_log
+        log = eng.fetch_log()
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return pd.DataFrame(log, columns=["wave", "seq", "url", "fetch_time"])

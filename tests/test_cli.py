@@ -39,10 +39,10 @@ def test_cli_reverse_changes_order(ray_session, tmp_path, capsys):
     main(["crawl", "--store", b + "/s", "--ckpt", b + "/c", "--seeds", "8",
           "--hosts", "4", "--waves", "1", "--wave-size", "16", "--reverse"])
     capsys.readouterr()
-    from logcrawler_ray.state.checkpoint import CheckpointDir
+    from logcrawler_ray.pipelines.crawl import CrawlConfig, CrawlEngine
 
-    la = CheckpointDir(a + "/c").latest()[1]["state"]["fetch_log"]
-    lb = CheckpointDir(b + "/c").latest()[1]["state"]["fetch_log"]
+    la = CrawlEngine(CrawlConfig(), a + "/s", a + "/c").fetch_log()
+    lb = CrawlEngine(CrawlConfig(), b + "/s", b + "/c").fetch_log()
     assert [u for _, _, u, _ in la] != [u for _, _, u, _ in lb]
     assert {u for _, _, u, _ in la} == {u for _, _, u, _ in lb}  # same wave set
 

@@ -51,7 +51,7 @@ def test_serial_crawl_progresses(serial_run):
 def test_fetch_ordering_equivalence(serial_run, engine_run):
     sc, _, _ = serial_run
     eng, _ = engine_run
-    assert eng.state.fetch_log == sc.fetch_order()
+    assert eng.fetch_log() == sc.fetch_order()
 
 
 def test_url_seen_set_equivalence(serial_run, engine_run):
@@ -108,7 +108,7 @@ def test_robots_respected(engine_run):
     rules = {web.host_name(h): RobotsRules.parse(web.robots_txt(web.host_name(h)))
              for h in range(cfg.n_hosts)}
     assert any(r.disallow for r in rules.values())
-    for _, _, url, _ in eng.state.fetch_log:
+    for _, _, url, _ in eng.fetch_log():
         host = host_of(url)
         path = url.split(host, 1)[1]
         assert rules[host].allowed(path), url
@@ -123,7 +123,7 @@ def test_politeness_budget_respected(engine_run):
     from logcrawler_ray.functions.urlnorm import host_of
 
     last: dict[str, int] = {}
-    for _, _, url, t in sorted(eng.state.fetch_log, key=lambda x: (x[3], x[1])):
+    for _, _, url, t in sorted(eng.fetch_log(), key=lambda x: (x[3], x[1])):
         h = host_of(url)
         delay = RobotsRules.parse(web.robots_txt(h)).crawl_delay_ms
         if h in last:
@@ -145,7 +145,7 @@ def test_kill_and_resume_equivalence(ray_session, serial_run, tmp_path):
     eng2 = CrawlEngine(cfg, str(root / "store"), str(root / "ckpt"))
     eng2.run(seeds=None)  # resume from checkpoint
 
-    assert eng2.state.fetch_log == sc.fetch_order()
+    assert eng2.fetch_log() == sc.fetch_order()
     for a, b in zip(sc.seen_tables(), eng2.state.seen_tables()):
         assert (a == b).all()
     tab = eng2.store.read_table(columns=["image_id", "phash"])
@@ -174,7 +174,7 @@ def test_resume_mid_wave_crash(ray_session, serial_run, tmp_path):
 
     eng2 = CrawlEngine(cfg, str(root / "store"), str(root / "ckpt"))
     eng2.run(seeds=None)
-    assert eng2.state.fetch_log == sc.fetch_order()
+    assert eng2.fetch_log() == sc.fetch_order()
     tab = eng2.store.read_table(columns=["image_id", "phash"])
     got = {(r["image_id"], r["phash"]) for r in tab.to_pylist()}
     assert got == {(r["image_id"], r["phash"]) for r in sc.rows}
@@ -200,11 +200,40 @@ def test_actor_pool_mode_equivalence(ray_session, serial_run, tmp_path):
     eng.run(seeds=seeds, max_waves=2)
     # first two waves of the fetch log must match the serial run's
     serial_prefix = [t for t in sc.fetch_order() if t[0] < 2]
-    assert eng.state.fetch_log == serial_prefix
+    assert eng.fetch_log() == serial_prefix
     tab = eng.store.read_table(columns=["image_id", "phash"])
     got = {(r["image_id"], r["phash"]) for r in tab.to_pylist()}
     expect = {(r["image_id"], r["phash"]) for r in sc.rows if r["seq"] is not None}
     assert got <= expect and len(got) > 0
+
+
+def test_checkpoint_size_bounded(ray_session, serial_run, tmp_path):
+    """Checkpoints are O(shards), not O(fetched URLs): no fetch_log key,
+    and the payload does not grow linearly with the crawl (round-1 verdict:
+    full-log-per-checkpoint made checkpoint bytes O(waves^2))."""
+    import os
+
+    sc, seeds, _ = serial_run
+    cfg = CrawlConfig(**CFG)
+    eng = CrawlEngine(cfg, str(tmp_path / "store"), str(tmp_path / "ckpt"))
+    eng.start(seeds)
+    sizes, fetched = [], 0
+    for _ in range(cfg.max_waves):
+        m = eng.run_wave()
+        if m.get("done"):
+            break
+        fetched += m["fetched"]
+        wave, payload = eng.ckpt.latest()
+        assert "fetch_log" not in payload["state"]
+        sizes.append(os.path.getsize(tmp_path / "ckpt" / f"wave-{wave:06d}.ckpt"))
+    assert len(sizes) >= 3 and fetched > 100
+    # seen/frontier state grows with distinct URLs (bounded by seen
+    # capacity), but nothing accumulates per fetched row: the last
+    # checkpoint stays within a small constant factor of the first wave's
+    assert sizes[-1] < sizes[0] * 8
+    # and the fetch log lives in the store, one partition per wave
+    assert len(eng.log_store.partitions()) == len(sizes)
+    assert eng.fetch_log() == sc.fetch_order()
 
 
 def test_q25_and_q30_deterministic_across_runs(ray_session):
