@@ -77,35 +77,50 @@ def topk_cosine(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
 
 
 def cosine_neardup_pairs(ds, threshold: float = 0.9, id_col: str = "vec_id",
-                         vec_col: str = "embedding") -> pd.DataFrame:
-    """All (a < b) pairs with cosine >= threshold.
+                         vec_col: str = "embedding",
+                         block_rows: int = 8192) -> pd.DataFrame:
+    """All (a < b) pairs with cosine >= threshold — EXACT, distributed as a
+    block-pair self-join.
 
-    Each batch compares against the full (normalized) corpus matrix,
-    broadcast once — O(N x B) matmuls, the honest brute-force baseline.
-    The LSH variant bounds this at scale.
+    The corpus is packed into ~N/block_rows normalized (ids, matrix) blocks
+    living in the OBJECT STORE (the driver streams one batch at a time while
+    packing — it never holds the corpus, the round-1 scale-killer); one Ray
+    task per block pair (i <= j) does the block-vs-block matmul and returns
+    only the found id pairs. O(B^2) tasks is inherent to exact low-threshold
+    pair generation; for high thresholds the LSH banding variants bound the
+    candidate set instead.
     """
     import ray
 
-    full = ds.select_columns([id_col, vec_col]).to_pandas()
-    ids_all = full[id_col].to_numpy()
-    m_all = _normalize(
-        np.stack([np.asarray(v, dtype=np.float64) for v in full[vec_col]])
-    )
-    ref = ray.put((ids_all, m_all))
-
-    def pairs(batch: pa.Table) -> pa.Table:
-        ids_a, m_a = ray.get(ref)
+    packed = []
+    for batch in ds.select_columns([id_col, vec_col]).iter_batches(
+            batch_size=block_rows, batch_format="pyarrow"):
+        ids = batch[id_col].to_numpy().astype(np.int64)
         m = _normalize(_to_matrix(batch[vec_col]))
-        ids = batch[id_col].to_numpy()
-        sims = m @ m_a.T
-        bi, ai = np.nonzero(sims >= threshold)
-        keep = ids[bi] < ids_a[ai]
-        return pa.table({
-            "a": pa.array(ids[bi][keep], pa.int64()),
-            "b": pa.array(ids_a[ai][keep], pa.int64()),
-        })
+        packed.append(ray.put((ids, m)))
 
-    out = ds.map_batches(pairs, batch_format="pyarrow").to_pandas()
+    @ray.remote(num_cpus=1)
+    def compare(a_blk, b_blk, same: bool):
+        ids_a, m_a = a_blk
+        ids_b, m_b = b_blk
+        sims = m_a @ m_b.T
+        ai, bi = np.nonzero(sims >= threshold)
+        lo = np.minimum(ids_a[ai], ids_b[bi])
+        hi = np.maximum(ids_a[ai], ids_b[bi])
+        keep = lo < hi  # drops self-pairs; dedupe below for same-block
+        if same:
+            keep &= ids_a[ai] < ids_b[bi]  # count each unordered pair once
+        return lo[keep], hi[keep]
+
+    tasks = [compare.remote(packed[i], packed[j], i == j)
+             for i in range(len(packed)) for j in range(i, len(packed))]
+    parts = ray.get(tasks)
+    if not parts:
+        return pd.DataFrame({"a": pd.Series(dtype=np.int64),
+                             "b": pd.Series(dtype=np.int64)})
+    a = np.concatenate([p[0] for p in parts])
+    b = np.concatenate([p[1] for p in parts])
+    out = pd.DataFrame({"a": a, "b": b})
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 

@@ -76,21 +76,45 @@ def lsh_band_rows(doc_ids: np.ndarray, sigs: np.ndarray, bands: int = 16) -> pa.
     )
 
 
-def candidate_pairs_from_groups(df: pd.DataFrame) -> pd.DataFrame:
-    """Per (band,bucket) group -> all doc_id pairs (a < b)."""
-    ids = np.sort(df["doc_id"].to_numpy())
-    if len(ids) < 2:
+# A degenerate bucket (template pages, empty docs hashing identically)
+# makes all-pairs generation O(g^2) — the round-1 "no bucket-size cap"
+# scale hole. Buckets past the cap emit ONE marker row (a=-1, b=size)
+# instead of g^2/2 pairs; callers split markers off via split_candidates.
+DEFAULT_MAX_BUCKET = 512
+
+
+def candidate_pairs_from_groups(df: pd.DataFrame,
+                                max_bucket: int = DEFAULT_MAX_BUCKET) -> pd.DataFrame:
+    """Per (band,bucket) group -> all doc_id pairs (a < b); oversize buckets
+    -> a single dropped-bucket marker (a=-1, b=group size)."""
+    n = len(df)
+    if n < 2:
         return pd.DataFrame({"a": [], "b": []}, dtype=np.int64)
+    if n > max_bucket:
+        return pd.DataFrame({"a": [np.int64(-1)], "b": [np.int64(n)]})
+    ids = np.sort(df["doc_id"].to_numpy())
     ai, bi = np.triu_indices(len(ids), k=1)
     return pd.DataFrame({"a": ids[ai], "b": ids[bi]})
 
 
+def split_candidates(pairs: pd.DataFrame) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Separate real candidate pairs from dropped-bucket markers (a == -1).
+    Returns (pairs, dropped) where dropped has one row per dropped bucket
+    with its size in ``b`` — the error channel for capacity decisions."""
+    mark = pairs["a"] == -1
+    return pairs[~mark].reset_index(drop=True), pairs[mark].reset_index(drop=True)
+
+
 def minhash_lsh_candidates(ds, text_col: str = "text", id_col: str = "doc_id",
-                           k: int = 64, bands: int = 16, ngram: int = 3):
-    """Dataset of docs -> Dataset of distinct candidate pairs (a < b).
+                           k: int = 64, bands: int = 16, ngram: int = 3,
+                           max_bucket: int = DEFAULT_MAX_BUCKET):
+    """Dataset of docs -> Dataset of distinct candidate pairs (a < b), plus
+    dropped-bucket marker rows (a=-1, b=bucket size) for buckets over
+    ``max_bucket`` — see split_candidates.
 
     Shuffle cost: only (band:int32, bucket:int64, doc_id:int64) rows move.
     """
+    import functools
 
     def explode(batch: pa.Table) -> pa.Table:
         sigs = minhash_batch(batch[text_col].to_pylist(), k=k, ngram=ngram)
@@ -98,7 +122,8 @@ def minhash_lsh_candidates(ds, text_col: str = "text", id_col: str = "doc_id",
 
     rows = ds.map_batches(explode, batch_format="pyarrow")
     pairs = rows.groupby(["band", "bucket"]).map_groups(
-        candidate_pairs_from_groups, batch_format="pandas"
+        functools.partial(candidate_pairs_from_groups, max_bucket=max_bucket),
+        batch_format="pandas",
     )
     # distinct (a, b) — skinny groupby
     return pairs.groupby(["a", "b"]).map_groups(
@@ -116,6 +141,15 @@ def verify_jaccard_pairs(ds, pairs_ds, text_col: str = "text",
     """
 
     pairs = pairs_ds.to_pandas()
+    if pairs.empty:
+        return pairs.assign(jaccard=pd.Series(dtype=float))
+    pairs, dropped = split_candidates(pairs)
+    if len(dropped):
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "verify_jaccard_pairs: %d oversize LSH buckets dropped (sizes %s)",
+            len(dropped), dropped["b"].tolist()[:10])
     if pairs.empty:
         return pairs.assign(jaccard=pd.Series(dtype=float))
     needed = set(pairs["a"]) | set(pairs["b"])
@@ -166,7 +200,8 @@ def simhash_batch(texts: list[str], seed: int = 99) -> np.ndarray:
 
 def simhash_near_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                            max_hamming: int = 3, seed: int = 99,
-                           n_chunks: int | None = None):
+                           n_chunks: int | None = None,
+                           max_bucket: int = DEFAULT_MAX_BUCKET):
     """Near-dup pairs (pandas DataFrame: a, b, hamming) by simhash Hamming
     distance <= max_hamming.
 
@@ -205,6 +240,10 @@ def simhash_near_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
             return pd.DataFrame({"a": [], "b": [], "hamming": []}).astype(
                 {"a": np.int64, "b": np.int64, "hamming": np.int64}
             )
+        if len(df) > max_bucket:
+            # O(g^2) guard: dropped-bucket marker, split off below
+            return pd.DataFrame({"a": [np.int64(-1)], "b": [np.int64(len(df))],
+                                 "hamming": [np.int64(-1)]})
         df = df.sort_values(id_col)
         ids = df[id_col].to_numpy()
         sh = to_uint64(df["simhash"].to_numpy())
@@ -220,9 +259,18 @@ def simhash_near_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         .to_pandas()
     )
     pairs = pairs.reindex(columns=["a", "b", "hamming"])
-    return (
+    pairs, dropped = split_candidates(pairs)
+    if len(dropped):
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "simhash_near_dup_pairs: %d oversize buckets dropped (sizes %s)",
+            len(dropped), dropped["b"].tolist()[:10])
+    out = (
         pairs.drop_duplicates(["a", "b"])
         .sort_values(["a", "b"])
         .reset_index(drop=True)
         .astype({"a": np.int64, "b": np.int64, "hamming": np.int64})
     )
+    out.attrs["dropped_buckets"] = len(dropped)
+    return out

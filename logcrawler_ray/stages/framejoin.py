@@ -30,6 +30,11 @@ def frame_join(game_ds, image_ds, how: str = "inner", by: str = "log_id",
     if how not in ("inner", "left"):
         raise ValueError(how)
 
+    # explicit per-side column lists (round-1 hygiene: dropna(axis=1) on a
+    # group empty on one side silently dropped ALL that side's columns)
+    g_names = list(game_ds.schema().names)
+    i_names = list(image_ds.schema().names)
+
     tag_g = game_ds.map_batches(
         lambda t: t.append_column("__side", pa.array(np.zeros(t.num_rows, np.int8))),
         batch_format="pyarrow")
@@ -38,8 +43,8 @@ def frame_join(game_ds, image_ds, how: str = "inner", by: str = "log_id",
         batch_format="pyarrow")
 
     def per_log(df: pd.DataFrame) -> pd.DataFrame:
-        game = df[df["__side"] == 0].drop(columns="__side").dropna(axis=1, how="all")
-        img = df[df["__side"] == 1].drop(columns="__side").dropna(axis=1, how="all")
+        game = df.loc[df["__side"] == 0, g_names]
+        img = df.loc[df["__side"] == 1, i_names]
         if img.empty:
             if how == "inner":
                 return game.iloc[0:0]

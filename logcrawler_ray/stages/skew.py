@@ -20,7 +20,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..functions.hashing import splitmix64
+from ..functions.hashing import hash64_str, splitmix64
 
 
 def salted_aggregate(ds, key: str, agg_cols: dict[str, str], n_salts: int = 16):
@@ -32,9 +32,12 @@ def salted_aggregate(ds, key: str, agg_cols: dict[str, str], n_salts: int = 16):
     from ray.data.aggregate import Count, Max, Min, Sum
 
     def add_salt(t: pa.Table) -> pa.Table:
-        # salt derived from a row counter mixed per block — uniform, cheap
-        salt = (splitmix64(np.arange(t.num_rows, dtype=np.uint64)
-                           + np.uint64(id(t) & 0xFFFF)) % np.uint64(n_salts)).astype(np.int32)
+        # salt from the first row's key hash + row counter: uniform, cheap,
+        # and DETERMINISTIC across runs (id(t) was not — round-1 hygiene)
+        first = t[key][0].as_py() if t.num_rows else 0
+        base = np.uint64(hash64_str(str(first)))
+        salt = (splitmix64(np.arange(t.num_rows, dtype=np.uint64) + base)
+                % np.uint64(n_salts)).astype(np.int32)
         return t.append_column("__salt", pa.array(salt))
 
     phase1_aggs = []

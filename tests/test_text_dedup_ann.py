@@ -150,6 +150,63 @@ def test_cosine_neardup_finds_planted(ray_session, emb_df):
     assert ((pairs["a"] == 3) & (pairs["b"] == 7)).any()
 
 
+def test_cosine_neardup_blocked_matches_driver_bruteforce(ray_session, emb_df):
+    """The distributed block-pair self-join must equal the obvious driver
+    brute force exactly, across block boundaries (block_rows=16 -> 5 blocks)
+    and at a low threshold (many pairs)."""
+    import ray.data as rd
+
+    thr = 0.3
+    m = np.stack([np.asarray(v, dtype=np.float64) for v in emb_df["embedding"]])
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = m @ m.T
+    ai, bi = np.nonzero(np.triu(sims >= thr, k=1))
+    expect = sorted(zip(emb_df["vec_id"].to_numpy()[ai],
+                        emb_df["vec_id"].to_numpy()[bi]))
+    got = ann.cosine_neardup_pairs(rd.from_pandas(emb_df).repartition(3),
+                                   threshold=thr, block_rows=16)
+    assert list(zip(got["a"], got["b"])) == [(int(a), int(b)) for a, b in expect]
+    assert len(expect) > 10  # the low threshold actually exercises volume
+
+
+def test_lsh_hot_bucket_capped(ray_session):
+    """A degenerate bucket (300 identical docs) must not explode into
+    ~45k pairs per band: with max_bucket=64 the bucket is dropped with a
+    marker and the call stays fast."""
+    import time
+
+    import ray.data as rd
+
+    from logcrawler_ray.stages.dedup_text import split_candidates
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(310, dtype=np.int64),
+        "text": ["the same template page body over and over"] * 300
+                + [f"unique text number {i} with words" for i in range(10)],
+    })
+    t0 = time.time()
+    pairs = minhash_lsh_candidates(rd.from_pandas(docs), max_bucket=64).to_pandas()
+    took = time.time() - t0
+    real, dropped = split_candidates(pairs)
+    assert len(dropped) >= 1 and dropped["b"].max() >= 300
+    # no pair from the degenerate bucket slipped through the cap
+    assert not ((real["a"] < 300) & (real["b"] < 300)).any() or len(real) < 1000
+    assert took < 60
+
+
+def test_simhash_hot_bucket_capped(ray_session):
+    import ray.data as rd
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(200, dtype=np.int64),
+        "text": ["identical words here"] * 200,
+    })
+    pairs = simhash_near_dup_pairs(rd.from_pandas(docs), max_hamming=3,
+                                   max_bucket=50)
+    assert len(pairs) == 0
+    assert pairs.attrs["dropped_buckets"] >= 1
+
+
 def test_lsh_topk_high_recall(ray_session, emb_df):
     import ray.data as rd
 
