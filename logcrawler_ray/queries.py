@@ -763,6 +763,58 @@ def q28_naoth_scan(sf_dir: str):
     return pa.concat_tables(tables)
 
 
+def _f5_proto_fixture_bytes(log_no: int) -> bytes:
+    """F5 fixture whose payloads are REAL protobuf wire bytes (FrameInfo /
+    Image / BallCandidates per codecs/protowire.py schemas), incl. an
+    ImageTop alias payload and one corrupt payload that must be skipped."""
+    from .codecs import protowire as pw
+    from .sources.naoth import write_records
+
+    frames = []
+    for fn in range(1, 16):
+        fields = [("FrameInfo",
+                   pw.encode_message({"frame_number": fn, "frame_time": 1000 + 33 * fn
+                                      + 7 * log_no}, pw.FRAMEINFO))]
+        if fn % 2 == 0:
+            fields.append(("Image", pw.encode_message(
+                {"width": 8, "height": 6, "format": 1,
+                 "data": bytes([(fn * 13 + i) % 256 for i in range(96)])}, pw.IMAGE)))
+        if fn % 4 == 0:
+            fields.append(("ImageTop", pw.encode_message(
+                {"width": 4, "height": 3, "format": 1,
+                 "data": bytes(24)}, pw.IMAGE)))
+        if fn % 3 == 0:
+            fields.append(("BallCandidates", pw.encode_message(
+                {"patches": [{"min_x": fn, "min_y": 0, "max_x": fn + 12,
+                              "max_y": 12, "data": b"\xff" * 16},
+                             {"min_x": 2 * fn, "min_y": 4, "max_x": 2 * fn + 8,
+                              "max_y": 12, "data": b"\x00" * 8}]},
+                pw.BALLCANDIDATES)))
+        if fn == 9:
+            fields.append(("FrameInfo", b"\xff\xff\xff\xff\xff\xff\xff\xff\xff\xff\xff"))
+        frames.append((fn, fields))
+    return write_records(frames)
+
+
+@_q("q43_naoth_proto")
+def q43_naoth_proto(sf_dir: str):
+    """Protobuf-wire representation parsing (S3/M9): F5 fixture logs whose
+    payloads are real wire bytes are scanned + parsed distributed
+    (stages/protoparse.py); BallCandidates patches arrive blob-stripped
+    (07_input_cognition_data_rust.py:138-141), corrupt payloads skipped.
+    Rows-only deterministic."""
+    import ray.data as rd
+
+    from .stages.protoparse import parse_logs_dataset
+
+    logs = rd.from_items([
+        {"log_no": i, "bytes": _f5_proto_fixture_bytes(i)} for i in range(3)
+    ])
+    out = parse_logs_dataset(logs).to_pandas()
+    return (out.sort_values(["log_no", "frame_number", "name"], kind="mergesort")
+            .reset_index(drop=True))
+
+
 @_q("q29_behavior_stream")
 def q29_behavior_stream(sf_dir: str):
     """Keyframe+delta ordered-state decoding (§2.8 / F7). Rows-only."""

@@ -1,0 +1,112 @@
+"""Protobuf wire codec tests — hand-built wire bytes decoded against the
+spec (varint / zigzag / length-delimited / fixed), round-trips, the
+reference's alias + blob-strip semantics, and the distributed parse stage."""
+
+import numpy as np
+import pytest
+
+from logcrawler_ray.codecs import protowire as pw
+
+
+def test_varint_roundtrip_and_bounds():
+    for v in [0, 1, 127, 128, 300, 2**32 - 1, 2**63, 2**64 - 1]:
+        enc = pw.encode_varint(v)
+        got, pos = pw.read_varint(enc, 0)
+        assert got == v and pos == len(enc)
+    with pytest.raises(pw.WireError):
+        pw.read_varint(b"\xff" * 11, 0)
+    with pytest.raises(pw.WireError):
+        pw.read_varint(b"\x80", 0)  # truncated continuation
+
+
+def test_hand_built_frameinfo_bytes():
+    # field 1 (frameNumber) = 150 -> tag 0x08, varint 0x96 0x01
+    # field 2 (time) = 1        -> tag 0x10, varint 0x01
+    buf = bytes([0x08, 0x96, 0x01, 0x10, 0x01])
+    msg = pw.decode_message(buf, pw.FRAMEINFO)
+    assert msg == {"frame_number": 150, "frame_time": 1}
+    # encoder must reproduce the canonical bytes
+    assert pw.encode_message(msg, pw.FRAMEINFO) == buf
+
+
+def test_unknown_fields_skipped():
+    # add an unknown field 9 (varint) and 7 (length-delimited) around known ones
+    buf = (pw.encode_varint(9 << 3 | 0) + pw.encode_varint(5)
+           + bytes([0x08, 0x2A])
+           + pw.encode_varint(7 << 3 | 2) + pw.encode_varint(3) + b"abc"
+           + bytes([0x10, 0x07]))
+    assert pw.decode_message(buf, pw.FRAMEINFO) == {"frame_number": 42, "frame_time": 7}
+
+
+def test_scalar_kinds_roundtrip():
+    schema = {1: ("a", "sint64"), 2: ("b", "double"), 3: ("c", "string"),
+              4: ("d", "bool"), 5: ("e", "fixed32"), 6: ("f", "int32")}
+    vals = {"a": -12345, "b": 3.5, "c": "héllo", "d": True, "e": 7, "f": -2}
+    assert pw.decode_message(pw.encode_message(vals, schema), schema) == vals
+
+
+def test_nested_repeated_message_roundtrip():
+    vals = {"patches": [
+        {"min_x": 1, "min_y": 2, "max_x": 3, "max_y": 4, "data": b"\x01\x02"},
+        {"min_x": -5, "min_y": 0, "max_x": 9, "max_y": 9, "data": b""},
+    ]}
+    got = pw.decode_message(pw.encode_message(vals, pw.BALLCANDIDATES),
+                            pw.BALLCANDIDATES)
+    assert got == vals
+
+
+def test_alias_and_blob_strip():
+    img = pw.encode_message({"width": 4, "height": 2, "data": b"x" * 8}, pw.IMAGE)
+    assert pw.parse("ImageTop", img)["width"] == 4  # 07:217-221 aliasing
+    bc = {"patches": [{"min_x": 0, "min_y": 0, "max_x": 1, "max_y": 1,
+                       "data": b"zz"}]}
+    stripped = pw.strip_blobs(
+        "BallCandidatesTop",
+        pw.parse("BallCandidatesTop", pw.encode_message(bc, pw.BALLCANDIDATES)))
+    assert stripped["patches"] == [{"min_x": 0, "min_y": 0, "max_x": 1, "max_y": 1}]
+
+
+def test_truncated_payload_raises():
+    buf = pw.encode_varint(4 << 3 | 2) + pw.encode_varint(100) + b"short"
+    with pytest.raises(pw.WireError):
+        pw.decode_message(buf, pw.IMAGE)
+
+
+def test_parse_log_skips_corrupt_and_strips(ray_session):
+    """End-to-end on a hand-decodable log: frame 1 FrameInfo parses, the
+    corrupt payload is skipped, BallCandidates report n_patches only."""
+    from logcrawler_ray.sources.naoth import write_records
+    from logcrawler_ray.stages.protoparse import parse_log
+
+    data = write_records([
+        (1, [("FrameInfo", pw.encode_message({"frame_number": 1, "frame_time": 500},
+                                             pw.FRAMEINFO))]),
+        (2, [("FrameInfo", pw.encode_message({"frame_number": 2, "frame_time": 533},
+                                             pw.FRAMEINFO)),
+             ("BallCandidates", pw.encode_message(
+                 {"patches": [{"min_x": 0, "min_y": 0, "max_x": 8, "max_y": 8,
+                               "data": b"p" * 64}]}, pw.BALLCANDIDATES)),
+             ("Garbage", b"\xff" * 11),  # no schema -> ignored
+             ("Image", b"\xff" * 11)],   # schema but corrupt -> skipped
+        ),
+    ])
+    out = parse_log(7, data).to_pandas()
+    fi = out[out["name"] == "FrameInfo"].sort_values("frame_number")
+    assert fi["frame_time"].tolist() == [500, 533]
+    assert (out["log_no"] == 7).all()
+    bc = out[out["name"] == "BallCandidates"]
+    assert bc["n_patches"].tolist() == [1]
+    assert "Image" not in set(out["name"])  # corrupt payload skipped
+
+
+def test_q43_deterministic(ray_session):
+    from logcrawler_ray import queries as q
+
+    a = q.QUERIES["q43_naoth_proto"]("/root/testdata/sf0.001")
+    b = q.QUERIES["q43_naoth_proto"]("/root/testdata/sf0.001")
+    assert a.equals(b)
+    assert len(a) > 40
+    # FrameInfo times follow the fixture's formula
+    fi = a[(a["log_no"] == 1) & (a["name"] == "FrameInfo")]
+    assert np.array_equal(fi["frame_time"].to_numpy(),
+                          1000 + 33 * fi["frame_number"].to_numpy() + 7)
