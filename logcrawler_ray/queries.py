@@ -1042,6 +1042,103 @@ def q37_name_prefixes(sf_dir: str):
     )
 
 
+# ---------------------------------------------------------------- J7 fuzzy
+_FUZZY_KEYS = {
+    "Berlin United": ["berlin"],
+    "Red Rockets": ["rocket"],
+    "Blue Whales": ["whale"],
+    "Green Goblins": ["goblin"],
+    "Silver Foxes": ["fox"],
+    # "Night Owls" deliberately has NO search key -> its game never matches
+}
+
+_FUZZY_GAMES = [
+    {"game_idx": 0, "date": "2024-06-01", "home": "Berlin United", "away": "Red Rockets"},
+    {"game_idx": 1, "date": "2024-06-01", "home": "Blue Whales", "away": "Green Goblins"},
+    {"game_idx": 2, "date": "2024-06-02", "home": "Berlin United", "away": "Blue Whales"},
+    {"game_idx": 3, "date": "2024-06-02", "home": "Berlin United", "away": "Night Owls"},
+    {"game_idx": 4, "date": "2024-06-03", "home": "Silver Foxes", "away": "Berlin United"},
+    # duplicate pairing on the same date: a candidate matching both goes to
+    # the FIRST game (find_gc_logs removal order)
+    {"game_idx": 5, "date": "2024-06-01", "home": "Red Rockets", "away": "Berlin United"},
+]
+
+_FUZZY_CANDIDATES = [
+    "gc_2024-06-01_Berlin_vs_Rocket_1st_half.log",      # games 0 and 5 -> 0
+    "gc_2024-06-01_whale_goblin_2nd_half.log",          # game 1
+    "gc_2024-06-02_BERLIN-Whale_1st_half.log",          # game 2
+    "gc_2024-06-02_berlin_vs_owls_1st.log",             # game 3 has no key -> none
+    "gc_2024-06-03_fox_berlin_2nd_half.log",            # game 4
+    "gc_2024-06-01_berlin_training.log",                # date ok, one team only
+    "gc_2024-05-30_berlin_rocket.log",                  # wrong date
+    "random_notes.txt",                                 # noise
+    "gc_2024-06-01_ROCKET_and_berlin_rematch_1st.log",  # games 0,5 -> 0
+    "gc_2024-06-03_Test_fox_berlin.log",                # 'Test': still a gc match
+]
+
+
+def _fuzzy_cands_table() -> list[dict]:
+    return [{"cand_id": i, "fname": f} for i, f in enumerate(_FUZZY_CANDIDATES)]
+
+
+def _fuzzy_oracle_sql() -> str:
+    cands = ", ".join(f"({i}, '{f}')" for i, f in enumerate(_FUZZY_CANDIDATES))
+    rows = []
+    for g in _FUZZY_GAMES:
+        hk, ak = _FUZZY_KEYS.get(g["home"]), _FUZZY_KEYS.get(g["away"])
+        if hk is None or ak is None:
+            continue  # keyless team: the game can never match (KeyError path)
+        rows.append(f"({g['game_idx']}, '{g['date']}', '{hk[0]}', '{ak[0]}')")
+    games = ", ".join(rows)
+    return f"""
+    WITH cands(cand_id, fname) AS (VALUES {cands}),
+         games(game_idx, gdate, k_home, k_away) AS (VALUES {games})
+    SELECT c.cand_id, MIN(g.game_idx) AS game_idx
+    FROM cands c JOIN games g
+      ON position(g.gdate IN c.fname) > 0
+     AND position(g.k_home IN lower(c.fname)) > 0
+     AND position(g.k_away IN lower(c.fname)) > 0
+    GROUP BY c.cand_id
+    """
+
+
+@_q("q44_fuzzy_match_gc", None)
+def q44_fuzzy_match_gc(sf_dir: str):
+    """J7 fuzzy file-to-game matcher, gc-log mode (sort_logs.py:163-199):
+    date containment + BOTH teams' casefolded keywords; candidate goes to
+    the first matching game (pool-removal order == groupby-min). Oracle:
+    the same rule in SQL over embedded fixture VALUES."""
+    import ray.data as rd
+
+    from .stages.fuzzymatch import assign_first_match, compile_games, match_pairs
+
+    specs = compile_games(_FUZZY_GAMES, _FUZZY_KEYS, mode="gc")
+    cands = rd.from_items(_fuzzy_cands_table())
+    return assign_first_match(match_pairs(cands, specs))
+
+
+ORACLE_SQL["q44_fuzzy_match_gc"] = _fuzzy_oracle_sql()
+
+
+@_q("q45_fuzzy_game_logs")
+def q45_fuzzy_game_logs(sf_dir: str):
+    """J7 game-log mode (sort_logs.py:248-278): opponent keywords + 'Test'
+    exclusion, and a game claims its folder only when the match is UNIQUE
+    in the remaining pool (sequential removal — later games can become
+    unique after an earlier claim). Matching distributed; resolution over
+    the skinny pair list. Rows-only (stateful-sequential, no SQL)."""
+    import ray.data as rd
+
+    from .stages.fuzzymatch import (assign_unique_with_removal, compile_games,
+                                    match_pairs)
+
+    specs = compile_games(_FUZZY_GAMES, _FUZZY_KEYS, mode="vs")
+    cands = rd.from_items(_fuzzy_cands_table())
+    pairs = match_pairs(cands, specs).to_pandas()
+    return assign_unique_with_removal(
+        pairs, [g["game_idx"] for g in _FUZZY_GAMES])
+
+
 @_q(
     "q40_union_counts",
     """
