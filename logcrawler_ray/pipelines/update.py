@@ -25,45 +25,58 @@ def update_image_stats(store: ImageStore, pid: str, *, batch_size: int = 128,
     path uses (single implementation of M5/M6/M11), then merge_inserts the
     stat columns keyed by image_id.
     """
-    table = store.read_table(pid)
-    have_stats = "brightness" in table.column_names
-    if have_stats and not force:
-        mask = pa.compute.is_null(table["brightness"])
-        todo = table.filter(mask)
-    else:
-        todo = table
-    if todo.num_rows == 0:
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    files = store.files(pid)
+    if not files:
         return 0
-
+    schema_names = pq.read_schema(files[0]).names
+    have_stats = "brightness" in schema_names
     stage = DecodeStats(keep_bytes=True)
-    updated = []
-    for start in range(0, todo.num_rows, batch_size):
-        chunk = todo.slice(start, batch_size)
-        base_cols = [c for c in ("image_id", "bytes", "w", "h", "fmt") if c in
-                     chunk.column_names]
-        out = stage(chunk.select(base_cols))
-        updated.append(out)
-    new = pa.concat_tables(updated)
 
-    # align to the partition's schema: keep original non-stat columns
-    carry = [c for c in table.column_names if c not in new.column_names]
-    if carry:
-        idx = {iid: i for i, iid in enumerate(table["image_id"].to_pylist())}
-        rows = [idx[i] for i in new["image_id"].to_pylist()]
-        for c in carry:
-            new = new.append_column(c, table[c].take(pa.array(rows)))
-    if have_stats:
-        new = new.select(table.column_names)
-        store.merge_insert(pid, new, key="image_id")
-    else:
-        # schema widened: rewrite the partition with stats attached
-        untouched = table.filter(
-            pa.compute.invert(pa.compute.is_in(
-                table["image_id"], value_set=new["image_id"].combine_chunks())))
-        if untouched.num_rows:
-            stage2 = DecodeStats(keep_bytes=True)
-            extra = stage2(untouched.select([c for c in ("image_id", "bytes", "w", "h",
-                                                         "fmt")]))
-            new = pa.concat_tables([new, extra.select(new.column_names)])
-        store.append_table(pid, new, meta=store.manifest(pid).get("meta"))
+    if not have_stats or force:
+        # schema-widening / full-recompute pass: stream fragment-at-a-time
+        # through the same DecodeStats stage (never the whole partition in
+        # driver memory — store.rewrite_partition is per fragment)
+        n = store.rows(pid)
+
+        def widen(frag: pa.Table) -> pa.Table:
+            out_parts = []
+            for start in range(0, frag.num_rows, batch_size):
+                chunk = frag.slice(start, batch_size)
+                base_cols = [c for c in ("image_id", "bytes", "w", "h", "fmt")
+                             if c in chunk.column_names]
+                out = stage(chunk.select(base_cols))
+                carry = [c for c in chunk.column_names if c not in out.column_names]
+                for c in carry:  # aligned: stage preserves row order
+                    out = out.append_column(c, chunk[c])
+                out_parts.append(out)
+            return pa.concat_tables(out_parts)
+
+        store.rewrite_partition(pid, widen)
+        return n
+
+    # refresh pass: detect todo rows from the SKINNY columns only, then
+    # fetch + recompute just those rows and upsert per-fragment
+    skinny = store.read_table(pid, columns=["image_id", "brightness"])
+    todo_ids = skinny.filter(pc.is_null(skinny["brightness"]))["image_id"]
+    if todo_ids.length() == 0:
+        return 0
+    todo_set = todo_ids.combine_chunks()
+    updated = []
+    for f in files:
+        frag = pq.read_table(f)
+        sel = frag.filter(pc.is_in(frag["image_id"], value_set=todo_set))
+        for start in range(0, sel.num_rows, batch_size):
+            chunk = sel.slice(start, batch_size)
+            base_cols = [c for c in ("image_id", "bytes", "w", "h", "fmt")
+                         if c in chunk.column_names]
+            out = stage(chunk.select(base_cols))
+            carry = [c for c in chunk.column_names if c not in out.column_names]
+            for c in carry:
+                out = out.append_column(c, chunk[c])
+            updated.append(out.select(schema_names))
+    new = pa.concat_tables(updated)
+    store.merge_insert(pid, new, key="image_id")
     return new.num_rows

@@ -815,6 +815,47 @@ def q43_naoth_proto(sf_dir: str):
             .reset_index(drop=True))
 
 
+@_q("q46_behavior_tree")
+def q46_behavior_tree(sf_dir: str):
+    """Recursive option-tree walk (10_input_behavior_frames.py:64-94):
+    wire-encoded XABSL trees decoded + DFS-walked distributed, internal ids
+    mapped through the broadcast option map. Rows-only deterministic."""
+    import ray.data as rd
+
+    from .codecs import protowire as pw
+    from .stages.behavior import (XABSL_TREE, build_option_map,
+                                  explode_option_trees)
+
+    option_map = build_option_map([
+        {"option_internal": i, "option_global": 100 + i,
+         "state_internal": s, "state_global": 1000 + 10 * i + s}
+        for i in range(6) for s in range(3)
+    ])
+
+    def tree(option_id: int, state: int, subs: list) -> dict:
+        return {"id": option_id, "active_state": state,
+                "active_sub_actions": [
+                    {"type": t, "option": sub} if sub is not None else {"type": t}
+                    for t, sub in subs]}
+
+    rows = []
+    for log in range(2):
+        for fn in range(1, 11):
+            root = tree(0, fn % 3, [
+                (0, tree(1 + fn % 2, (fn + 1) % 3, [
+                    (0, tree(3, fn % 3, [])),
+                    (2, None),                      # SymbolAssignment: skipped
+                ])),
+                (0, tree(4 + log, (fn + 2) % 3, [])),
+                (7, None),                          # unknown type: ignored
+            ])
+            rows.append({"log_id": log, "payload": pw.encode_message(
+                {"root": root, "frame_number": fn}, XABSL_TREE)})
+    out = explode_option_trees(rd.from_items(rows), option_map).to_pandas()
+    return (out.sort_values(["log_id", "frame_number", "order"], kind="mergesort")
+            .reset_index(drop=True))
+
+
 @_q("q29_behavior_stream")
 def q29_behavior_stream(sf_dir: str):
     """Keyframe+delta ordered-state decoding (§2.8 / F7). Rows-only."""

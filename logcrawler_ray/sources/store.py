@@ -232,18 +232,93 @@ class ImageStore:
         return pa.concat_tables(pq.read_table(f, columns=columns) for f in files)
 
     # -- upsert (the reference's bulk_update, S10) --------------------------
+    @staticmethod
+    def _merge_fragment(path: str, out_path: str, key: str, upd_keys: pa.Array,
+                        compression: str) -> int:
+        """One fragment of an upsert: untouched fragments HARD-LINK into the
+        new partition dir (zero data bytes moved); affected fragments are
+        rewritten without the updated keys. Returns surviving row count."""
+        import pyarrow.compute as pc
+
+        keys_only = pq.read_table(path, columns=[key])
+        hit = pc.is_in(keys_only[key], value_set=upd_keys)
+        n_hit = pc.sum(hit).as_py() or 0
+        if n_hit == 0:
+            try:
+                os.link(path, out_path)
+            except OSError:
+                shutil.copy2(path, out_path)
+            return keys_only.num_rows
+        frag = pq.read_table(path)
+        kept = frag.filter(pc.invert(pc.is_in(frag[key], value_set=upd_keys)))
+        if kept.num_rows:
+            pq.write_table(kept, out_path, compression=compression)
+        return kept.num_rows
+
     def merge_insert(self, pid: str, updates: pa.Table, key: str) -> None:
         """Upsert rows of one partition by key (reference:
         13_calculate_image_stats.py:109-116 / 14_calculate_closest_frames.py:122-129
-        ``bulk_update`` -> here a partition rewrite, committed atomically)."""
+        ``bulk_update``), committed atomically.
+
+        PER-FRAGMENT (round-1 What's-wrong #5 fix): only fragments that
+        contain an updated key are rewritten — and in parallel Ray tasks
+        when a session is live; untouched fragments hard-link into the new
+        partition dir. Driver memory stays O(updates), never O(partition).
+        """
         if not self.is_done(pid):
             self.append_table(pid, updates)
             return
-        current = self.read_table(pid)
-        upd_keys = set(updates[key].to_pylist())
-        import pyarrow.compute as pc
+        if self._view_of(pid):
+            # view partitions have no fragments of their own: materialize
+            current = self.read_table(pid)
+            import pyarrow.compute as pc
 
-        mask = pc.invert(pc.is_in(current[key], value_set=pa.array(upd_keys)))
-        kept = current.filter(mask)
-        merged = pa.concat_tables([kept, updates.select(current.column_names)])
-        self.append_table(pid, merged, meta=self.manifest(pid).get("meta"))
+            upd = pa.array(sorted(set(updates[key].to_pylist())))
+            kept = current.filter(pc.invert(pc.is_in(current[key], value_set=upd)))
+            merged = pa.concat_tables([kept, updates.select(current.column_names)])
+            self.append_table(pid, merged, meta=self.manifest(pid).get("meta"))
+            return
+
+        files = self.files(pid)
+        schema_names = pq.read_schema(files[0]).names if files else updates.column_names
+        updates = updates.select(schema_names)
+        upd_keys = pa.array(sorted(set(updates[key].to_pylist())))
+        tmp_dir = self._part_dir(pid) + f".tmp.{uuid.uuid4().hex}"
+        os.makedirs(tmp_dir)
+
+        jobs = [(f, os.path.join(tmp_dir, os.path.basename(f))) for f in files]
+        import ray
+
+        if ray.is_initialized() and len(jobs) > 1:
+            merge = ray.remote(num_cpus=1)(ImageStore._merge_fragment)
+            kref = ray.put(upd_keys)
+            rows = sum(ray.get([merge.remote(src, dst, key, kref, self.compression)
+                                for src, dst in jobs]))
+        else:
+            rows = sum(ImageStore._merge_fragment(src, dst, key, upd_keys,
+                                                  self.compression)
+                       for src, dst in jobs)
+        pq.write_table(updates,
+                       os.path.join(tmp_dir, f"upsert-{uuid.uuid4().hex}.parquet"),
+                       compression=self.compression)
+        self._commit(pid, tmp_dir, rows + updates.num_rows,
+                     self.manifest(pid).get("meta"))
+
+    def rewrite_partition(self, pid: str, fragment_fn, meta: dict | None = None) -> int:
+        """Map every fragment through ``fragment_fn(pa.Table) -> pa.Table``
+        into a new atomically-committed partition, ONE FRAGMENT AT A TIME
+        (driver memory = one fragment) — the streaming path for
+        schema-widening rewrites. Returns total rows."""
+        files = self.files(pid)
+        tmp_dir = self._part_dir(pid) + f".tmp.{uuid.uuid4().hex}"
+        os.makedirs(tmp_dir)
+        rows = 0
+        for f in files:
+            out = fragment_fn(pq.read_table(f))
+            if out.num_rows:
+                pq.write_table(out, os.path.join(tmp_dir, os.path.basename(f)),
+                               compression=self.compression)
+                rows += out.num_rows
+        self._commit(pid, tmp_dir, rows,
+                     meta if meta is not None else self.manifest(pid).get("meta"))
+        return rows

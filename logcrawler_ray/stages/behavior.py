@@ -79,3 +79,107 @@ def reference_decode(rows: list[dict]) -> list[tuple]:
             for i in sorted(values):
                 out.append((log_id, r["seq"], id_to_name[i], values[i]))
     return out
+
+
+# ----------------------------------------------------------- option trees
+# The reference's recursive option/state walk
+# (10_input_behavior_frames.py:64-94 parse_sparse_option): DFS pre-order
+# over BehaviorStateSparse's option tree, emitting one row per active
+# option with its ids mapped internal -> global through the option map the
+# registration frame declared (10:20-30 option_map build); sub-actions of
+# type 0 (Option) recurse, type 2 (SymbolAssignment) is skipped.
+#
+# The tree is wire-encoded with codecs/protowire.py using a RECURSIVE
+# schema (protobuf messages nest unboundedly) — decode gives nested dicts.
+
+def _xabsl_schemas():
+    from ..codecs import protowire as pw
+
+    option: dict = {1: ("id", "int32"), 2: ("active_state", "int32")}
+    action: dict = {1: ("type", "int32"), 2: ("option", ("message", option))}
+    option[3] = ("active_sub_actions", ("repeated", ("message", action)))
+    tree = {1: ("root", ("message", option)), 2: ("frame_number", "int64")}
+    pw.register_parser("XabslOption", option)
+    pw.register_parser("BehaviorStateSparseTree", tree)
+    return option, action, tree
+
+
+XABSL_OPTION, XABSL_ACTION, XABSL_TREE = _xabsl_schemas()
+
+
+def walk_option_tree(node: dict, option_map: dict,
+                     frame_number: int) -> list[tuple]:
+    """DFS pre-order (10:64-94). Returns
+    [(frame_number, order, depth, options_id, active_state)] with ids
+    mapped through option_map = {internal: {"id": g, "states": {s: gs}}}.
+    An unmapped id is an error channel row (ids = -1), not a quit()."""
+    out: list[tuple] = []
+
+    def rec(n: dict, depth: int) -> None:
+        oid = n.get("id", -1)
+        sid = n.get("active_state", -1)
+        m = option_map.get(oid)
+        g_opt = m["id"] if m else -1
+        g_state = m["states"].get(sid, -1) if m else -1
+        out.append((frame_number, len(out), depth, g_opt, g_state))
+        for sub in n.get("active_sub_actions", []):
+            if sub.get("type") == 0 and "option" in sub:  # Option
+                rec(sub["option"], depth + 1)
+            # type 2 = SymbolAssignment: value already in output symbols
+            # (10:88-90) -> skipped; other types ignored
+
+    rec(node, 0)
+    return out
+
+
+def build_option_map(rows: list[dict]) -> dict:
+    """Registration rows (option_internal, option_global, state_internal,
+    state_global) -> the option_map dict (10:20-30)."""
+    out: dict = {}
+    for r in rows:
+        m = out.setdefault(int(r["option_internal"]),
+                           {"id": int(r["option_global"]), "states": {}})
+        m["states"][int(r["state_internal"])] = int(r["state_global"])
+    return out
+
+
+def explode_option_trees(ds, option_map: dict):
+    """Dataset of (log_id, payload: wire-encoded BehaviorStateSparseTree)
+    -> Dataset of walked rows. The option map broadcasts once via ray.put;
+    decode + DFS walk run per batch in map_batches."""
+    import pyarrow as pa
+    import ray
+
+    from ..codecs import protowire as pw
+
+    ref = ray.put(option_map)
+
+    def explode(t: pa.Table) -> pa.Table:
+        omap = ray.get(ref)
+        logs, fns, orders, depths, opts, states = [], [], [], [], [], []
+        for log_id, blob in zip(t["log_id"].to_pylist(),
+                                t["payload"].to_pylist()):
+            try:
+                msg = pw.decode_message(blob, XABSL_TREE)
+            except pw.WireError:
+                continue  # corrupt payload skipped (error-channel policy)
+            if "root" not in msg:
+                continue
+            for fn, order, depth, o, s in walk_option_tree(
+                    msg["root"], omap, msg.get("frame_number", -1)):
+                logs.append(log_id)
+                fns.append(fn)
+                orders.append(order)
+                depths.append(depth)
+                opts.append(o)
+                states.append(s)
+        return pa.table({
+            "log_id": pa.array(logs, pa.int64()),
+            "frame_number": pa.array(fns, pa.int64()),
+            "order": pa.array(orders, pa.int64()),
+            "depth": pa.array(depths, pa.int64()),
+            "options_id": pa.array(opts, pa.int64()),
+            "active_state": pa.array(states, pa.int64()),
+        })
+
+    return ds.map_batches(explode, batch_format="pyarrow")

@@ -110,3 +110,59 @@ def test_q43_deterministic(ray_session):
     fi = a[(a["log_no"] == 1) & (a["name"] == "FrameInfo")]
     assert np.array_equal(fi["frame_time"].to_numpy(),
                           1000 + 33 * fi["frame_number"].to_numpy() + 7)
+
+# ------------------------------------------------- option-tree walk (J7/M9)
+def test_option_tree_walk_dfs_order():
+    from logcrawler_ray.stages.behavior import build_option_map, walk_option_tree
+
+    omap = build_option_map([
+        {"option_internal": 1, "option_global": 101, "state_internal": 0,
+         "state_global": 900},
+        {"option_internal": 2, "option_global": 102, "state_internal": 5,
+         "state_global": 905},
+    ])
+    root = {"id": 1, "active_state": 0, "active_sub_actions": [
+        {"type": 0, "option": {"id": 2, "active_state": 5,
+                               "active_sub_actions": []}},
+        {"type": 2},                      # SymbolAssignment -> skipped
+        {"type": 0, "option": {"id": 9, "active_state": 9,
+                               "active_sub_actions": []}},  # unmapped -> -1
+    ]}
+    rows = walk_option_tree(root, omap, frame_number=7)
+    assert rows == [
+        (7, 0, 0, 101, 900),
+        (7, 1, 1, 102, 905),
+        (7, 2, 1, -1, -1),
+    ]
+
+
+def test_option_tree_wire_roundtrip_and_explode(ray_session):
+    import ray.data as rd
+
+    from logcrawler_ray.stages.behavior import (XABSL_TREE, build_option_map,
+                                                explode_option_trees)
+
+    omap = build_option_map([
+        {"option_internal": 0, "option_global": 50, "state_internal": 1,
+         "state_global": 51}])
+    root = {"id": 0, "active_state": 1, "active_sub_actions": [
+        {"type": 0, "option": {"id": 0, "active_state": 1,
+                               "active_sub_actions": []}}]}
+    blob = pw.encode_message({"root": root, "frame_number": 3}, XABSL_TREE)
+    ds = rd.from_items([{"log_id": 1, "payload": blob},
+                        {"log_id": 2, "payload": b"\xff" * 11}])  # corrupt
+    out = explode_option_trees(ds, omap).to_pandas()
+    assert len(out) == 2  # corrupt log contributed nothing
+    assert out["options_id"].tolist() == [50, 50]
+    assert out["depth"].tolist() == [0, 1]
+    assert out["frame_number"].tolist() == [3, 3]
+
+
+def test_q46_deterministic(ray_session):
+    from logcrawler_ray import queries as q
+
+    a = q.QUERIES["q46_behavior_tree"]("/root/testdata/sf0.001")
+    b = q.QUERIES["q46_behavior_tree"]("/root/testdata/sf0.001")
+    assert a.equals(b)
+    # every frame walks 4 options (root + 2 children + grandchild)
+    assert len(a) == 2 * 10 * 4
