@@ -130,7 +130,8 @@ def run_bench() -> dict:
 
     ingest = bench_ingest()
     crawl = bench_crawl()
-    queries = bench_queries()
+    # scaling subruns skip the query sample (crawl/ingest are the scaled jobs)
+    queries = {} if os.environ.get("GRAFT_SKIP_QUERIES") else bench_queries()
     result = {
         "metric": "sustained fetch+decode throughput into store (headline: crawl sec; urls_per_sec in .crawl)",
         "value": crawl["sec"],
@@ -145,29 +146,31 @@ def run_bench() -> dict:
     return result
 
 
-def run_scaling(lo_cpus: int = 8, hi_cpus: int = 32) -> dict:
-    """Same job, two parallelism levels (lo, 4x lo) in fresh processes.
+def run_scaling(lo_cpus: int = 2, hi_cpus: int = 8) -> dict:
+    """The same job at N and 4N cpus in fresh processes, for TWO pairs:
+    the headline pair (lo, 4*lo; default 2->8) and the upper pair (8->32).
 
-    NOTE single-node caveat (see BENCH/BASELINE.md): the decode stage
-    saturates this machine's memory bandwidth near ~24 cores, so the
-    8->32 pair understates what 4x NODES would deliver (each node brings
-    its own memory bus). Run `--scaling 2 8` for a 4x pair clear of the
-    ceiling.
+    Single-node caveat (measured, BENCH/BASELINE.md §2): the decode stage
+    saturates this machine's ONE memory bus near ~24 cores, so 8->32
+    understates what 4x NODES (4 memory buses, 4 NVMe) deliver; the 2->8
+    pair is clear of the ceiling and is the honest single-node proxy for
+    the multi-node N->4N criterion. Both are reported.
     """
 
     def one(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SKIP_QUERIES="1")
         out = subprocess.run([sys.executable, __file__], env=env, capture_output=True,
                              text=True, check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
 
     factor = hi_cpus / lo_cpus
+    levels = sorted({lo_cpus, hi_cpus, 8, 32})
     one(lo_cpus)  # warm: corpus synth + page cache, untimed
-    lo = one(lo_cpus)
-    hi = one(hi_cpus)
+    r = {c: one(c) for c in levels}
+    lo, hi = r[lo_cpus], r[hi_cpus]
     eff_ingest = (lo["ingest"]["sec"] / hi["ingest"]["sec"]) / factor
     eff_crawl = (lo["crawl"]["sec"] / hi["crawl"]["sec"]) / factor
-    return {
+    out = {
         "metric": f"scaling efficiency {lo_cpus}->{hi_cpus} cpus ({factor:g}x); headline=crawl",
         f"sec_{lo_cpus}": lo["crawl"]["sec"], f"sec_{hi_cpus}": hi["crawl"]["sec"],
         f"urls_per_sec_{lo_cpus}": lo["crawl"]["urls_per_sec"],
@@ -179,6 +182,13 @@ def run_scaling(lo_cpus: int = 8, hi_cpus: int = 32) -> dict:
         "scaling_efficiency_crawl": round(eff_crawl, 3),
         "scaling_efficiency_ingest": round(eff_ingest, 3),
     }
+    if 8 in r and 32 in r and (lo_cpus, hi_cpus) != (8, 32):
+        e832 = (r[8]["crawl"]["sec"] / r[32]["crawl"]["sec"]) / 4
+        out["scaling_efficiency_crawl_8_32"] = round(e832, 3)
+        out["urls_per_sec_32"] = r[32]["crawl"]["urls_per_sec"]
+        out["note"] = ("8->32 shares one memory bus/NVMe (ceiling ~24 cores, "
+                       "see BASELINE.md §2); 2->8 is the bandwidth-clear N->4N pair")
+    return out
 
 
 if __name__ == "__main__":

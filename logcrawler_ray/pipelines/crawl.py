@@ -239,6 +239,53 @@ def _route_links(t: pa.Table, *, seed: int, mode: str, n_shards: int,
     })
 
 
+class WaveStage:
+    """Fused fetch -> decode -> parquet-sink -> link-route stage.
+
+    One map_batches layer per wave (ONE Ray Data execution where the BSP
+    loop previously ran three: fetch+decode, write, route). Each task
+    writes its committed image rows straight into the wave partition's
+    pre-created tmp dir — the large payload bytes never re-enter the
+    object store — and returns only the skinny ROUTED link columns. The
+    output file is named by the batch's min seq, so a retried task
+    overwrites its own file (idempotent) instead of duplicating rows.
+
+    Works as a plain callable (task mode, cheap state) or an actor class
+    (``map_batches(WaveStage, fn_constructor_kwargs=...)``) when fetch
+    state is expensive.
+    """
+
+    def __init__(self, web_params: dict, tmp_dir: str, *, seed: int, mode: str,
+                 n_shards: int, max_depth: int, compression: str = "none"):
+        self.fetch = FetchWorker(web_params=web_params)
+        self.decode = DecodeStats(keep_bytes=True)
+        self.tmp_dir = tmp_dir
+        self.seed = seed
+        self.mode = mode
+        self.n_shards = n_shards
+        self.max_depth = max_depth
+        self.compression = compression
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import os
+
+        import pyarrow.parquet as pq
+
+        fetched = self.fetch(t)
+        ok = fetched.filter(fetched["fetch_ok"])
+        decoded = self.decode(ok)
+        img = decoded.filter(decoded["decode_ok"]).drop_columns(
+            ["links", "fetch_ok", "decode_ok"])
+        if img.num_rows:
+            min_seq = int(np.min(img["seq"].to_numpy()))
+            pq.write_table(
+                img, os.path.join(self.tmp_dir, f"part-{min_seq:010d}.parquet"),
+                compression=self.compression)
+        return _route_links(decoded.select(["seq", "depth", "links"]),
+                            seed=self.seed, mode=self.mode,
+                            n_shards=self.n_shards, max_depth=self.max_depth)
+
+
 def _links_in_order(table: pa.Table) -> tuple[list[str], list[int]]:
     """Flatten (seq, links, depth) -> link list ordered by (seq, idx)."""
     seqs = table["seq"].to_pylist()
@@ -320,45 +367,37 @@ class CrawlEngine:
         ds = rd.from_arrow(chunks)
         web_params = {"seed": self.cfg.seed, "n_hosts": self.cfg.n_hosts,
                       "pages_per_host": self.cfg.pages_per_host, **self.cfg.web_params}
+
+        # 2+3+4a in ONE Ray Data execution (the BSP fixed cost is per
+        # execution, so fusing fetch+decode+sink+route cut the per-wave
+        # overhead ~3x): tasks write image rows straight into the wave
+        # partition's tmp dir and return only routed link columns.
+        pid = f"wave-{wave_no:06d}"
+        tmp_dir = self.store.external_tmp(pid)
+        stage_kwargs = dict(web_params=web_params, tmp_dir=tmp_dir,
+                            seed=self.cfg.seed, mode=self.cfg.priority_mode,
+                            n_shards=self.cfg.n_shards,
+                            max_depth=self.cfg.max_depth,
+                            compression=self.store.compression)
         if self.cfg.use_actors:
-            fetched = ds.map_batches(
-                FetchWorker, fn_constructor_kwargs={"web_params": web_params},
+            routed = ds.map_batches(
+                WaveStage, fn_constructor_kwargs=stage_kwargs,
                 batch_format="pyarrow", batch_size=self.cfg.batch_size,
                 concurrency=self.cfg.fetch_concurrency,
             )
         else:
-            fetched = ds.map_batches(
-                FetchWorker(web_params=web_params), batch_format="pyarrow",
+            routed = ds.map_batches(
+                WaveStage(**stage_kwargs), batch_format="pyarrow",
                 batch_size=self.cfg.batch_size,
             )
-        decoded = fetched.map_batches(
-            lambda t: t.filter(t["fetch_ok"]), batch_format="pyarrow"
-        )
-        if self.cfg.use_actors:
-            decoded = decoded.map_batches(
-                DecodeStats, fn_constructor_kwargs={"keep_bytes": True},
-                batch_format="pyarrow", batch_size=self.cfg.batch_size,
-                concurrency=self.cfg.decode_concurrency,
-            )
-        else:
-            decoded = decoded.map_batches(
-                DecodeStats(keep_bytes=True), batch_format="pyarrow",
-                batch_size=self.cfg.batch_size,
-            )
-        decoded = decoded.materialize()  # one wave — bounded by wave_size
+        link_batches = list(
+            routed.iter_batches(batch_size=8192, batch_format="pyarrow"))
 
-        # 3. COMMIT image rows (ok rows only; lineage in manifest meta)
-        ok_rows = decoded.map_batches(
-            lambda t: t.filter(t["decode_ok"]).drop_columns(["links", "fetch_ok", "decode_ok"]),
-            batch_format="pyarrow")
-        pid = f"wave-{wave_no:06d}"
-        n_written = self.store.append_dataset(pid, ok_rows, meta={
+        # 3. COMMIT image rows (footer-counted) + the wave's fetch log —
+        # both atomic, idempotent on wave re-run, bounded by wave_size
+        n_written = self.store.commit_external(pid, tmp_dir, meta={
             "wave": wave_no, "fetched": len(emitted), "virtual_now": st.now,
         })
-
-        # 3b. COMMIT the wave's fetch log as its own partition (atomic,
-        # idempotent on wave re-run) — bounded by wave_size, never held in
-        # driver memory across waves nor serialized into checkpoints
         self.log_store.append_table(pid, pa.table({
             "wave": pa.array([wave_no] * len(emitted), pa.int64()),
             "seq": in_table["seq"],
@@ -366,21 +405,9 @@ class CrawlEngine:
             "fetch_time": in_table["fetch_time"],
         }), meta={"wave": wave_no})
 
-        # 4. ENQUEUE discovered links in deterministic order. The per-link
-        # canonicalize/hash/priority work runs distributed (_route_links in
-        # map_batches over the wave's blocks); the driver receives only the
-        # skinny routed columns, sorts by (seq, idx) — the ordered-enqueue
-        # contract — and splits per shard.
-        import functools
-
-        route = functools.partial(
-            _route_links, seed=self.cfg.seed, mode=self.cfg.priority_mode,
-            n_shards=self.cfg.n_shards, max_depth=self.cfg.max_depth)
-        link_batches = list(
-            decoded.select_columns(["seq", "depth", "links"])
-            .map_batches(route, batch_format="pyarrow")
-            .iter_batches(batch_size=8192, batch_format="pyarrow")
-        )
+        # 4. ENQUEUE discovered links in deterministic order: the driver
+        # receives only the skinny routed columns, sorts by (seq, idx) —
+        # the ordered-enqueue contract — and splits per shard.
         new_urls = 0
         if link_batches:
             tbl = pa.concat_tables(link_batches)

@@ -101,24 +101,30 @@ def ingest_sharded(source_files: list[str], store: ImageStore, *,
 
     if store.is_done(pid):
         return pid
-    from ..stages.dedup import exact_losers
+    from ..stages.dedup import exact_losers_by
 
-    skinny = rd.read_parquet(
-        [f for spid in shard_ids for f in store.files(spid)],
-        columns=["phash", "image_id"])
-    losers = exact_losers(skinny, "phash", "image_id")
-    # the view's base is the union of shards: commit per-shard views sharing
-    # one loser set, then an umbrella manifest
-    import pyarrow as pa  # noqa: F401
+    # skinny re-read carries the shard id, so the loser pass returns each
+    # loser ALREADY ROUTED to its shard — the driver never reads a shard's
+    # full image_id column (round-1 residual), only the duplicates come back
+    def tag_shard(spid):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.append_column("__shard", pa.array([spid] * t.num_rows))
 
-    # simplest correct layout: one view per shard + a pid manifest listing them
+        return fn
+
+    skinny = None
+    for spid in shard_ids:
+        part = store.read_dataset(spid, columns=["phash", "image_id"]).map_batches(
+            tag_shard(spid), batch_format="pyarrow")
+        skinny = part if skinny is None else skinny.union(part)
+    losers_by_shard = exact_losers_by(skinny, "phash", "image_id", "__shard")
+
+    # one delete view per shard + a pid manifest listing them
     total = 0
     for spid in shard_ids:
-        shard_keys = set(
-            store.read_table(spid, columns=["image_id"])["image_id"].to_pylist())
-        drop = [k for k in losers if k in shard_keys]
-        total += store.commit_delete_view(f"{pid}-view-{spid}", spid, drop,
-                                          key_col="image_id")
+        total += store.commit_delete_view(
+            f"{pid}-view-{spid}", spid, losers_by_shard.get(spid, []),
+            key_col="image_id")
     store.append_table(pid, pa.table({"shards": [f"{pid}-view-{s}" for s in shard_ids]}),
                        meta={"pipeline": "ingest", "rows_total": total})
     return pid

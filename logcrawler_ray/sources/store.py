@@ -114,6 +114,30 @@ class ImageStore:
                        compression=self.compression)
         self._commit(pid, tmp_dir, table.num_rows, meta)
 
+    def external_tmp(self, pid: str) -> str:
+        """Pre-create a tmp dir for tasks that write partition files
+        DIRECTLY (the fused-stage sink pattern: payload bytes go from the
+        producing task straight to parquet, never through a second Ray Data
+        execution). Commit with :meth:`commit_external`."""
+        d = self._part_dir(pid) + f".tmp.{uuid.uuid4().hex}"
+        os.makedirs(d)
+        return d
+
+    def commit_external(self, pid: str, tmp_dir: str, meta: dict | None = None) -> int:
+        """Atomically commit files tasks wrote into ``tmp_dir``; row count
+        from parquet footers only. Leftover tmp dirs of the same pid (from
+        a crashed earlier attempt) are swept."""
+        rows = sum(pq.read_metadata(os.path.join(tmp_dir, f)).num_rows
+                   for f in os.listdir(tmp_dir) if f.endswith(".parquet"))
+        self._commit(pid, tmp_dir, rows, meta)
+        base = self._part_dir(pid) + ".tmp."
+        parent = os.path.dirname(base)
+        stem = os.path.basename(base)
+        for d in os.listdir(parent):
+            if d.startswith(stem):
+                shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
+        return rows
+
     def append_dataset(self, pid: str, ds, meta: dict | None = None) -> int:
         """Atomically write one partition from a ray.data.Dataset (streamed).
 

@@ -70,18 +70,55 @@ def exact_losers(skinny_ds, key: str, order_col: str) -> frozenset:
     dups = agg[agg["__n"] > 1]
     if dups.empty:
         return frozenset()
-    min_map = dict(zip(dups[key], dups["__min"]))
-    ref = ray.put(min_map)
+    # broadcast (dup key, winner order) as Arrow arrays; the loser scan is
+    # vectorized (index_in + take), never a per-row Python loop
+    ref = ray.put((pa.array(dups[key].to_numpy()),
+                   pa.array(dups["__min"].to_numpy())))
 
     def find_losers(batch: pa.Table) -> pa.Table:
-        m = ray.get(ref)
-        keys = batch[key].to_pylist()
-        orders = batch[order_col].to_pylist()
-        out = [o for k, o in zip(keys, orders) if k in m and o != m[k]]
-        return pa.table({order_col: pa.array(out, batch.schema.field(order_col).type)})
+        dkeys, winners = ray.get(ref)
+        idx = pc.index_in(batch[key], value_set=dkeys)
+        winner = pc.take(winners, idx)  # null where the key has no dup
+        loser = pc.and_(pc.is_valid(winner),
+                        pc.not_equal(batch[order_col], winner))
+        return pa.table({order_col: batch[order_col].filter(
+            pc.fill_null(loser, False))})
 
     rows = skinny_ds.map_batches(find_losers, batch_format="pyarrow").take_all()
     return frozenset(r[order_col] for r in rows)
+
+
+def exact_losers_by(skinny_ds, key: str, order_col: str,
+                    part_col: str) -> dict:
+    """Like :func:`exact_losers`, but the skinny rows carry a partition
+    column and the result is ``{part: [losers...]}`` — so a sharded caller
+    never reads each shard's full key column to the driver (the round-1
+    ingest residual); only the duplicate rows come back, already routed."""
+    import ray
+    from ray.data.aggregate import Count, Min
+
+    agg = (skinny_ds.groupby(key)
+           .aggregate(Min(order_col, alias_name="__min"), Count(alias_name="__n"))
+           .to_pandas())
+    dups = agg[agg["__n"] > 1]
+    if dups.empty:
+        return {}
+    ref = ray.put((pa.array(dups[key].to_numpy()),
+                   pa.array(dups["__min"].to_numpy())))
+
+    def find_losers(batch: pa.Table) -> pa.Table:
+        dkeys, winners = ray.get(ref)
+        idx = pc.index_in(batch[key], value_set=dkeys)
+        winner = pc.take(winners, idx)
+        loser = pc.fill_null(pc.and_(pc.is_valid(winner),
+                                     pc.not_equal(batch[order_col], winner)), False)
+        sel = batch.filter(loser)
+        return pa.table({order_col: sel[order_col], part_col: sel[part_col]})
+
+    out: dict = {}
+    for r in skinny_ds.map_batches(find_losers, batch_format="pyarrow").take_all():
+        out.setdefault(r[part_col], []).append(r[order_col])
+    return {p: sorted(v) for p, v in out.items()}
 
 
 def anti_filter_fn(loser_ref, order_col: str):
@@ -90,11 +127,12 @@ def anti_filter_fn(loser_ref, order_col: str):
 
     def anti_filter(batch: pa.Table) -> pa.Table:
         drop = ray.get(loser_ref)
-        if not drop:
-            return batch
-        col = batch[order_col].to_pylist()
-        mask = np.fromiter((v not in drop for v in col), dtype=bool, count=len(col))
-        return batch.filter(pa.array(mask))
+        if isinstance(drop, (set, frozenset)):
+            if not drop:
+                return batch
+            drop = pa.array(sorted(drop))
+        return batch.filter(
+            pc.invert(pc.is_in(batch[order_col], value_set=drop)))
 
     return anti_filter
 
@@ -114,7 +152,7 @@ def dedup_exact(ds, key: str = "phash", order_col: str = "image_id",
 
     losers = exact_losers(skinny_ds if skinny_ds is not None else ds, key, order_col)
     if len(losers) <= max_broadcast:
-        ref = ray.put(losers)
+        ref = ray.put(pa.array(sorted(losers)) if losers else frozenset())
         return ds.map_batches(anti_filter_fn(ref, order_col), batch_format="pyarrow")
 
     # fallback: full-row groupby (one all-to-all on the key)
