@@ -65,10 +65,10 @@ def bench_ingest() -> dict:
     t0 = time.perf_counter()
     src = rd.read_parquet(path)
     store = ImageStore(store_root)
-    # fixed-size actor pool: autoscaling (min,max) pools ramp too slowly to
-    # matter within one bench run
-    ingest(src, store, pid="bench",
-           concurrency=max(1, min(NUM_CPUS - 2, NUM_CPUS * 3 // 4)),
+    # task-mode decode (concurrency=None): DecodeStats state is cheap, and
+    # a fixed actor pool pays ~5 s startup per run (measured — see
+    # CLAUDE.md perf lessons; actor pools are for expensive ctor state)
+    ingest(src, store, pid="bench", concurrency=None,
            batch_size=128, keep_bytes=True)
     dt = time.perf_counter() - t0
     written = store.rows("bench")

@@ -34,58 +34,73 @@ DEFAULT_MAX_BROADCAST = 5_000_000
 def exact_losers(skinny_ds, key: str, order_col: str) -> frozenset:
     """Skinny (key, order) dataset -> set of order_col values to DROP.
 
-    Two vectorized passes, NO per-group Python (a ``map_groups`` here costs
-    ~1-2 ms per key — thousands of pandas constructions):
+    ONE distributed pass: each block emits (a) its per-key (min, count)
+    partials and (b) its BLOCK-LOCAL losers — any non-min row of a key
+    within a block loses globally no matter what other blocks hold, since
+    the global min is <= the block min. The driver then merges only the
+    partials: global losers = local losers + block-min entries of
+    duplicated keys whose min isn't the global winner. No second scan,
+    no per-group Python, fully vectorized.
 
-      1. native ``groupby(key).aggregate(Min(order), Count())`` — Ray's
-         vectorized partial+final aggregation; keep only keys with count>1;
-      2. broadcast the (dup key -> winner order) map and scan the skinny
-         rows once: every row whose order != winner is a loser.
+    Driver memory is O(distinct keys per block summed + duplicates); the
+    guard falls back to Ray's distributed aggregate + a broadcast-probe
+    scan past DEFAULT_MAX_BROADCAST partial rows.
     """
     import ray
     from ray.data.aggregate import Count, Min
 
-    # Per-block partial aggregation first: each block emits its distinct
-    # (key, min, count) — at most block_rows skinny rows. When the merged
-    # partials fit the driver (< ~5M rows), finish with one pandas groupby
-    # and skip the distributed shuffle entirely (its fixed cost is seconds);
-    # larger inputs use the native distributed aggregate.
     def partial(t: pa.Table) -> pa.Table:
         df = t.select([key, order_col]).to_pandas()
+        gmin = df.groupby(key)[order_col].transform("min")
+        local = df[df[order_col] != gmin]
         g = df.groupby(key, as_index=False).agg(
-            __min=(order_col, "min"), __n=(order_col, "size"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+            __o=(order_col, "min"), __n=(order_col, "size"))
+        loc = pd.DataFrame({key: local[key], "__o": local[order_col],
+                            "__n": np.int64(-1)})
+        return pa.Table.from_pandas(pd.concat([g, loc], ignore_index=True),
+                                    preserve_index=False)
 
-    partials_ds = skinny_ds.map_batches(partial, batch_format="pyarrow")
-    # limit() bails out early if the partials are too big for the driver
-    partial_rows = partials_ds.limit(DEFAULT_MAX_BROADCAST + 1).take_all()
-    if len(partial_rows) <= DEFAULT_MAX_BROADCAST:
-        pdf = pd.DataFrame(partial_rows)
-        agg = pdf.groupby(key, as_index=False).agg(
-            __min=("__min", "min"), __n=("__n", "sum"))
-    else:  # scale path: distributed partial+final aggregate
+    partial_rows = (skinny_ds.map_batches(partial, batch_format="pyarrow")
+                    .limit(DEFAULT_MAX_BROADCAST + 1).take_all())
+    if len(partial_rows) > DEFAULT_MAX_BROADCAST:
+        # scale path: distributed aggregate, then one broadcast-probe scan
         agg = (skinny_ds.groupby(key)
                .aggregate(Min(order_col, alias_name="__min"), Count(alias_name="__n"))
                .to_pandas())
-    dups = agg[agg["__n"] > 1]
-    if dups.empty:
+        dups = agg[agg["__n"] > 1]
+        if dups.empty:
+            return frozenset()
+        ref = ray.put((pa.array(dups[key].to_numpy()),
+                       pa.array(dups["__min"].to_numpy())))
+
+        def find_losers(batch: pa.Table) -> pa.Table:
+            dkeys, winners = ray.get(ref)
+            idx = pc.index_in(batch[key], value_set=dkeys)
+            winner = pc.take(winners, idx)  # null where the key has no dup
+            loser = pc.and_(pc.is_valid(winner),
+                            pc.not_equal(batch[order_col], winner))
+            return pa.table({order_col: batch[order_col].filter(
+                pc.fill_null(loser, False))})
+
+        rows = skinny_ds.map_batches(find_losers, batch_format="pyarrow").take_all()
+        return frozenset(r[order_col] for r in rows)
+
+    pdf = pd.DataFrame(partial_rows)
+    if pdf.empty:
         return frozenset()
-    # broadcast (dup key, winner order) as Arrow arrays; the loser scan is
-    # vectorized (index_in + take), never a per-row Python loop
-    ref = ray.put((pa.array(dups[key].to_numpy()),
-                   pa.array(dups["__min"].to_numpy())))
-
-    def find_losers(batch: pa.Table) -> pa.Table:
-        dkeys, winners = ray.get(ref)
-        idx = pc.index_in(batch[key], value_set=dkeys)
-        winner = pc.take(winners, idx)  # null where the key has no dup
-        loser = pc.and_(pc.is_valid(winner),
-                        pc.not_equal(batch[order_col], winner))
-        return pa.table({order_col: batch[order_col].filter(
-            pc.fill_null(loser, False))})
-
-    rows = skinny_ds.map_batches(find_losers, batch_format="pyarrow").take_all()
-    return frozenset(r[order_col] for r in rows)
+    mins = pdf[pdf["__n"] > 0]
+    local_losers = pdf.loc[pdf["__n"] < 0, "__o"]
+    agg = mins.groupby(key, as_index=False).agg(
+        __min=("__o", "min"), __n=("__n", "sum"))
+    dups = agg[agg["__n"] > 1]
+    if dups.empty and local_losers.empty:
+        return frozenset()
+    winner = dict(zip(dups[key], dups["__min"]))
+    dup_mins = mins[mins[key].isin(winner)]
+    extra = dup_mins.loc[
+        dup_mins["__o"].to_numpy()
+        != dup_mins[key].map(winner).to_numpy(), "__o"]
+    return frozenset(local_losers) | frozenset(extra)
 
 
 def exact_losers_by(skinny_ds, key: str, order_col: str,
