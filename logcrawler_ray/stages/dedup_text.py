@@ -133,12 +133,23 @@ def minhash_lsh_candidates(ds, text_col: str = "text", id_col: str = "doc_id",
 
 def verify_jaccard_pairs(ds, pairs_ds, text_col: str = "text",
                          id_col: str = "doc_id", ngram: int = 3,
-                         threshold: float = 0.8):
-    """Re-check candidate pairs with exact shingle Jaccard.
+                         threshold: float = 0.8,
+                         max_broadcast_docs: int = 200_000):
+    """Re-check candidate pairs with exact shingle Jaccard — DISTRIBUTED.
 
-    Broadcasts only the shingle sets of docs that appear in candidates
-    (at web scale this set is a small fraction of the corpus).
+    Only the candidate (a, b) id pairs ever sit on the driver (already
+    bounded by the LSH bucket caps). The shingle sets stay in the cluster:
+
+    - <= ``max_broadcast_docs`` involved docs: shingle sets are computed
+      distributed, collected ONCE as Arrow rows, re-broadcast via ray.put,
+      and the pair checks run vectorized-ish in map_batches over the pairs.
+    - beyond that: a co-group path — pairs explode to (doc, pair, slot)
+      rows, one groupby(doc) attaches each doc's shingles to its pair
+      rows, one groupby(pair) joins the two sides and computes Jaccard.
+      Nothing doc-sized touches the driver.
     """
+    import ray
+    import ray.data as rd
 
     pairs = pairs_ds.to_pandas()
     if pairs.empty:
@@ -152,12 +163,14 @@ def verify_jaccard_pairs(ds, pairs_ds, text_col: str = "text",
             len(dropped), dropped["b"].tolist()[:10])
     if pairs.empty:
         return pairs.assign(jaccard=pd.Series(dtype=float))
-    needed = set(pairs["a"]) | set(pairs["b"])
+    needed = np.unique(np.concatenate([pairs["a"].to_numpy(),
+                                       pairs["b"].to_numpy()]))
+    needed_ref = ray.put(pa.array(needed))
 
     def collect(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_numpy()
-        mask = np.isin(ids, np.fromiter(needed, dtype=np.int64, count=len(needed)))
-        sel = batch.filter(pa.array(mask))
+        import pyarrow.compute as pc
+
+        sel = batch.filter(pc.is_in(batch[id_col], value_set=ray.get(needed_ref)))
         return pa.table(
             {
                 id_col: sel[id_col],
@@ -168,16 +181,68 @@ def verify_jaccard_pairs(ds, pairs_ds, text_col: str = "text",
             }
         )
 
-    sh_rows = ds.map_batches(collect, batch_format="pyarrow").take_all()
-    sets = {r[id_col]: set(r["shingles"]) for r in sh_rows}
-    out = []
-    for a, b in zip(pairs["a"], pairs["b"]):
-        sa, sb = sets.get(a, set()), sets.get(b, set())
+    shingle_ds = ds.map_batches(collect, batch_format="pyarrow")
+
+    if len(needed) <= max_broadcast_docs:
+        sets_ref = ray.put({r[id_col]: set(r["shingles"])
+                            for r in shingle_ds.take_all()})
+
+        def check(t: pa.Table) -> pa.Table:
+            sets = ray.get(sets_ref)
+            oa, ob, oj = [], [], []
+            for a, b in zip(t["a"].to_pylist(), t["b"].to_pylist()):
+                sa, sb = sets.get(a, set()), sets.get(b, set())
+                union = len(sa | sb)
+                j = (len(sa & sb) / union) if union else 1.0
+                if j >= threshold:
+                    oa.append(a)
+                    ob.append(b)
+                    oj.append(j)
+            return pa.table({"a": pa.array(oa, pa.int64()),
+                             "b": pa.array(ob, pa.int64()),
+                             "jaccard": pa.array(oj, pa.float64())})
+
+        out = (rd.from_pandas(pairs.reset_index(drop=True))
+               .map_batches(check, batch_format="pyarrow").to_pandas())
+        return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+    # co-group scale path: shingles never leave the cluster
+    # arrow block (from_arrow), matching shingle_ds's block type — a
+    # pandas+arrow union breaks the groupby sort's block builder
+    sides = pa.table({
+        id_col: np.concatenate([pairs["a"].to_numpy(), pairs["b"].to_numpy()]),
+        "pair": np.tile(np.arange(len(pairs), dtype=np.int64), 2),
+        "slot": np.repeat(np.array([0, 1], dtype=np.int64), len(pairs)),
+    })
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        sh = df[df["pair"].isna()]
+        if sh.empty:
+            return pd.DataFrame({"pair": [], "slot": [], "shingles": []})
+        shingles = sh["shingles"].iloc[0]
+        p = df[df["pair"].notna()]
+        return pd.DataFrame({"pair": p["pair"].astype(np.int64),
+                             "slot": p["slot"].astype(np.int64),
+                             "shingles": [shingles] * len(p)})
+
+    tagged = rd.from_arrow(sides).union(shingle_ds)
+    per_pair = tagged.groupby(id_col).map_groups(attach, batch_format="pandas")
+
+    def jacc(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) < 2:
+            return pd.DataFrame({"pair": [], "jaccard": []})
+        df = df.sort_values("slot")
+        sa, sb = set(df["shingles"].iloc[0]), set(df["shingles"].iloc[1])
         union = len(sa | sb)
         j = (len(sa & sb) / union) if union else 1.0
-        if j >= threshold:
-            out.append((a, b, j))
-    return pd.DataFrame(out, columns=["a", "b", "jaccard"])
+        return pd.DataFrame({"pair": [df["pair"].iloc[0]], "jaccard": [j]})
+
+    jdf = per_pair.groupby("pair").map_groups(jacc, batch_format="pandas").to_pandas()
+    jdf = jdf[jdf["jaccard"] >= threshold]
+    out = pairs.reset_index(drop=True)
+    out["__pair"] = np.arange(len(out), dtype=np.int64)
+    out = out.merge(jdf, left_on="__pair", right_on="pair")[["a", "b", "jaccard"]]
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
 # --------------------------------------------------------------- SimHash

@@ -194,6 +194,28 @@ def test_lsh_hot_bucket_capped(ray_session):
     assert took < 60
 
 
+def test_verify_jaccard_cogroup_matches_broadcast(ray_session):
+    """The over-cap co-group verification path (shingles never on the
+    driver) must produce exactly the broadcast path's result."""
+    import ray.data as rd
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(12, dtype=np.int64),
+        "text": ["alpha beta gamma delta epsilon"] * 3
+                + ["alpha beta gamma delta zeta"] * 3
+                + [f"totally different text body {i} here now" for i in range(6)],
+    })
+    ds = rd.from_pandas(docs)
+    cands = minhash_lsh_candidates(ds)
+    broadcast = verify_jaccard_pairs(ds, cands, threshold=0.2)
+    cands2 = minhash_lsh_candidates(ds)
+    cogroup = verify_jaccard_pairs(ds, cands2, threshold=0.2,
+                                   max_broadcast_docs=0)
+    pd.testing.assert_frame_equal(
+        broadcast.reset_index(drop=True), cogroup.reset_index(drop=True))
+    assert len(broadcast) >= 3  # the planted dup families verify
+
+
 def test_simhash_hot_bucket_capped(ray_session):
     import ray.data as rd
 
