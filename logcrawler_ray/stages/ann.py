@@ -156,11 +156,26 @@ def ivf_topk_cosine(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
     query scans only its ``n_probe`` closest clusters. Same output schema
     as ``topk_cosine``. The scanned fraction is ~n_probe/n_clusters.
 
-    Training samples up to ``train_sample`` rows driver-side (centroids are
-    tiny); at 10^10 scale the sample read is a ``random_sample`` pass."""
+    Training samples ~``train_sample`` rows via DETERMINISTIC hash-based
+    row sampling (splitmix of the id column modulo a rate computed from a
+    cheap count) — a distributed filter pass, not a head-of-dataset
+    ``limit`` whose sample would be one storage shard's rows; only the
+    sampled rows reach the driver (centroids are tiny)."""
     import ray
 
-    sample = ds.limit(train_sample).to_pandas()
+    from ..functions.hashing import splitmix64
+
+    n_total = ds.count()
+    rate = max(1, n_total // max(1, train_sample))
+
+    def pick(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy().astype(np.uint64)
+        keep = (splitmix64(ids ^ np.uint64(seed)) % np.uint64(rate)) == 0
+        return t.filter(pa.array(keep))
+
+    sample = ds.map_batches(pick, batch_format="pyarrow").to_pandas()
+    if len(sample) == 0:
+        sample = ds.limit(min(train_sample, n_total)).to_pandas()
     m_train = _normalize(
         np.stack([np.asarray(v, dtype=np.float64) for v in sample[vec_col]]))
     centroids = kmeans_fit(m_train, n_clusters, seed=seed)

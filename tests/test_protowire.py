@@ -111,6 +111,40 @@ def test_q43_deterministic(ray_session):
     assert np.array_equal(fi["frame_time"].to_numpy(),
                           1000 + 33 * fi["frame_number"].to_numpy() + 7)
 
+# ---------------------------------------------------------- property tests
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(min_value=0, max_value=2**64 - 1))
+def test_prop_varint_roundtrip(v):
+    got, pos = pw.read_varint(pw.encode_varint(v), 0)
+    assert got == v
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(min_value=-(2**63), max_value=2**63 - 1),
+       st.floats(allow_nan=False, allow_infinity=False, width=64),
+       st.text(max_size=40), st.binary(max_size=40), st.booleans())
+def test_prop_message_roundtrip(i, d, s, b, flag):
+    schema = {1: ("i", "sint64"), 2: ("d", "double"), 3: ("s", "string"),
+              4: ("b", "bytes"), 5: ("f", "bool")}
+    vals = {"i": i, "d": d, "s": s, "b": b, "f": flag}
+    assert pw.decode_message(pw.encode_message(vals, schema), schema) == vals
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(max_size=64))
+def test_prop_decode_never_hangs_on_garbage(data):
+    """Arbitrary bytes either decode (skipping unknowns) or raise WireError —
+    never crash differently or loop forever."""
+    try:
+        pw.decode_message(data, pw.FRAMEINFO)
+    except pw.WireError:
+        pass
+
+
 # ------------------------------------------------- option-tree walk (J7/M9)
 def test_option_tree_walk_dfs_order():
     from logcrawler_ray.stages.behavior import build_option_map, walk_option_tree
