@@ -1180,6 +1180,208 @@ def q45_fuzzy_game_logs(sf_dir: str):
         pairs, [g["game_idx"] for g in _FUZZY_GAMES])
 
 
+# -------------------------------------------------- J1/J2/J5/J6 direct gates
+_FJ_GAME = [(1, 10, "ready"), (1, 11, "play"), (1, 12, "play"), (1, 13, "finish"),
+            (2, 10, "ready"), (2, 11, "play"), (2, 12, "own_kickoff")]
+_FJ_IMG = [(1, 10, "TOP"), (1, 10, "BOTTOM"), (1, 12, "TOP"),
+           (2, 11, "BOTTOM"), (2, 99, "TOP")]  # frame 99 has no game row
+
+
+def _fj_sql() -> str:
+    g = ", ".join(f"({a}, {b}, '{c}')" for a, b, c in _FJ_GAME)
+    i = ", ".join(f"({a}, {b}, '{c}')" for a, b, c in _FJ_IMG)
+    return f"""
+    WITH game(log_id, frame_number, state) AS (VALUES {g}),
+         img(log_id, frame_number, camera) AS (VALUES {i})
+    SELECT g.log_id, g.frame_number, g.state,
+           COALESCE(i.camera, 'none') AS camera
+    FROM game g LEFT JOIN img i
+      ON g.log_id = i.log_id AND g.frame_number = i.frame_number
+    """
+
+
+@_q("q47_frame_join_left")
+def q47_frame_join_left(sf_dir: str):
+    """J2 left frame join as a DIRECT gate (02_combine_logs.py:165-190
+    semantics: game frames kept, image rows attach per (log, frame),
+    multi-camera frames duplicate the game row). Oracle: SQL LEFT JOIN
+    over the same VALUES."""
+    import ray.data as rd
+
+    from .stages.framejoin import frame_join
+
+    game = rd.from_items([{"log_id": a, "frame_number": b, "state": c}
+                          for a, b, c in _FJ_GAME])
+    img = rd.from_items([{"log_id": a, "frame_number": b, "camera": c}
+                         for a, b, c in _FJ_IMG])
+    out = frame_join(game, img, how="left").to_pandas()
+    out["camera"] = out["camera"].fillna("none")
+    out = out[["log_id", "frame_number", "state", "camera"]].astype(
+        {"log_id": np.int64, "frame_number": np.int64})
+    return out.sort_values(["log_id", "frame_number", "camera"],
+                           kind="mergesort").reset_index(drop=True)
+
+
+ORACLE_SQL["q47_frame_join_left"] = _fj_sql()
+
+# boxes: (img_id, box_id, x0, y0, x1, y1, label) — integer pixel boxes
+_BBOX_ROWS = [
+    (1, 0, 0, 0, 50, 50, "robot"),
+    (1, 1, 10, 10, 60, 60, "ball"),      # overlaps 0 by 1600 px^2
+    (1, 2, 45, 45, 55, 55, "penalty"),   # overlaps 0 by 25 (under min_area)
+    (1, 3, 100, 100, 140, 140, "robot"),
+    (2, 0, 0, 0, 20, 20, "ball"),
+    (2, 1, 0, 0, 20, 20, "ball"),        # same label: excluded
+    (2, 2, 5, 5, 25, 25, "robot"),
+]
+
+
+def _bbox_sql() -> str:
+    rows = ", ".join(f"({i},{b},{x0},{y0},{x1},{y1},'{lb}')"
+                     for i, b, x0, y0, x1, y1, lb in _BBOX_ROWS)
+    return f"""
+    WITH boxes(img_id, box_id, x0, y0, x1, y1, label) AS (VALUES {rows})
+    SELECT a.img_id, a.box_id AS a_id, b.box_id AS b_id,
+           (LEAST(a.x1,b.x1)-GREATEST(a.x0,b.x0))
+         * (LEAST(a.y1,b.y1)-GREATEST(a.y0,b.y0)) AS inter
+    FROM boxes a JOIN boxes b
+      ON a.img_id = b.img_id AND a.box_id < b.box_id
+    WHERE a.label <> b.label
+      AND LEAST(a.x1,b.x1)-GREATEST(a.x0,b.x0) > 0
+      AND LEAST(a.y1,b.y1)-GREATEST(a.y0,b.y0) > 0
+      AND (LEAST(a.x1,b.x1)-GREATEST(a.x0,b.x0))
+        * (LEAST(a.y1,b.y1)-GREATEST(a.y0,b.y0)) >= 100
+    """
+
+
+@_q("q48_bbox_overlap")
+def q48_bbox_overlap(sf_dir: str):
+    """J5 bbox overlap self-join (check_bbox_overlap_tasks.py:68-87):
+    within-image cross-label pairs with intersection >= 100 px^2, run as
+    groupby(img).map_groups over the vectorized kernel. Oracle: SQL
+    self-join with the same geometry."""
+    import ray.data as rd
+
+    from .functions.bbox import overlap_pairs
+
+    rows = rd.from_items([
+        {"img_id": i, "box_id": b, "x0": x0, "y0": y0, "x1": x1, "y1": y1,
+         "label": lb} for i, b, x0, y0, x1, y1, lb in _BBOX_ROWS])
+
+    def per_img(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("box_id")
+        boxes = df[["x0", "y0", "x1", "y1"]].to_numpy(dtype=np.float64)
+        pairs = overlap_pairs(boxes, df["label"].tolist())
+        ids = df["box_id"].to_numpy()
+        return pd.DataFrame({
+            "img_id": np.full(len(pairs), df["img_id"].iloc[0], dtype=np.int64),
+            "a_id": np.array([ids[i] for i, _, _ in pairs], dtype=np.int64),
+            "b_id": np.array([ids[j] for _, j, _ in pairs], dtype=np.int64),
+            "inter": np.array([int(v) for _, _, v in pairs], dtype=np.int64),
+        })
+
+    out = rows.groupby("img_id").map_groups(per_img, batch_format="pandas").to_pandas()
+    return (out.astype(np.int64)
+            .sort_values(["img_id", "a_id", "b_id"], kind="mergesort")
+            .reset_index(drop=True))
+
+
+ORACLE_SQL["q48_bbox_overlap"] = _bbox_sql()
+
+_BB_PATCHES = [(1, 0, 0, 0, 32, 32), (1, 1, 30, 30, 64, 64), (1, 2, 200, 200, 232, 232),
+               (3, 0, 0, 0, 16, 16)]  # img 3 has no gts -> (-1, 0.0)
+_BB_GTS = [(1, 0, 8, 8, 24, 24), (1, 1, 28, 28, 60, 60), (1, 2, 0, 0, 64, 64)]
+
+
+def _bb_best_sql() -> str:
+    p = ", ".join(f"({a},{b},{c},{d},{e},{f})" for a, b, c, d, e, f in _BB_PATCHES)
+    g = ", ".join(f"({a},{b},{c},{d},{e},{f})" for a, b, c, d, e, f in _BB_GTS)
+    return f"""
+    WITH patches(img_id, patch_id, x0, y0, x1, y1) AS (VALUES {p}),
+         gts(img_id, gt_id, x0, y0, x1, y1) AS (VALUES {g}),
+         pairs AS (
+           SELECT p.img_id, p.patch_id, g.gt_id,
+                  GREATEST(LEAST(p.x1,g.x1)-GREATEST(p.x0,g.x0), 0)
+                * GREATEST(LEAST(p.y1,g.y1)-GREATEST(p.y0,g.y0), 0) AS inter,
+                  (g.x1-g.x0)*(g.y1-g.y0) AS agt
+           FROM patches p JOIN gts g ON p.img_id = g.img_id),
+         ranked AS (
+           SELECT img_id, patch_id, gt_id,
+                  ROUND(CAST(inter AS DOUBLE)/agt, 6) AS ratio,
+                  ROW_NUMBER() OVER (PARTITION BY img_id, patch_id
+                      ORDER BY CAST(inter AS DOUBLE)/agt DESC, gt_id) AS rn
+           FROM pairs)
+    SELECT p.img_id, p.patch_id,
+           COALESCE(r.gt_id, -1) AS best_gt, COALESCE(r.ratio, 0.0) AS ratio
+    FROM patches p LEFT JOIN ranked r
+      ON r.img_id = p.img_id AND r.patch_id = p.patch_id AND r.rn = 1
+    """
+
+
+@_q("q49_bbox_best_overlap")
+def q49_bbox_best_overlap(sf_dir: str):
+    """J6 best-overlap max-join (PatchExecutor.py:178-258, gt denominator;
+    tie -> smallest gt index, empty gts -> (-1, 0.0)). Oracle: windowed SQL."""
+    import ray.data as rd
+
+    from .functions.bbox import best_overlap
+
+    items = [{"img_id": a, "row_id": b, "x0": c, "y0": d, "x1": e, "y1": f,
+              "kind": "patch"} for a, b, c, d, e, f in _BB_PATCHES]
+    items += [{"img_id": a, "row_id": b, "x0": c, "y0": d, "x1": e, "y1": f,
+               "kind": "gt"} for a, b, c, d, e, f in _BB_GTS]
+
+    def per_img(df: pd.DataFrame) -> pd.DataFrame:
+        p = df[df["kind"] == "patch"].sort_values("row_id")
+        g = df[df["kind"] == "gt"].sort_values("row_id")
+        best, ratio = best_overlap(
+            p[["x0", "y0", "x1", "y1"]].to_numpy(dtype=np.float64),
+            g[["x0", "y0", "x1", "y1"]].to_numpy(dtype=np.float64),
+            denominator="gt")
+        gt_ids = g["row_id"].to_numpy()
+        return pd.DataFrame({
+            "img_id": np.full(len(p), df["img_id"].iloc[0], dtype=np.int64),
+            "patch_id": p["row_id"].to_numpy(dtype=np.int64),
+            "best_gt": np.where(best >= 0, gt_ids[best.clip(0)] if len(gt_ids)
+                                else -1, -1).astype(np.int64),
+            "ratio": np.round(ratio, 6),
+        })
+
+    out = (rd.from_items(items).groupby("img_id")
+           .map_groups(per_img, batch_format="pandas").to_pandas())
+    return (out.sort_values(["img_id", "patch_id"], kind="mergesort")
+            .reset_index(drop=True))
+
+
+ORACLE_SQL["q49_bbox_best_overlap"] = _bb_best_sql()
+
+
+@_q("q50_audio_features")
+def q50_audio_features(sf_dir: str):
+    """Audio feature extraction (PCM16 DSP, stages/multimodal.py) over
+    deterministic synthesized tones — actor-pool plumbing with real numpy
+    DSP. Rows-only deterministic."""
+    import ray.data as rd
+
+    from .stages.multimodal import AudioFeatures
+
+    rows = []
+    for i in range(16):
+        t = np.arange(8000) / 16000.0
+        freq = 110.0 * (1 + i % 8)
+        amp = 0.2 + 0.05 * (i % 5)
+        pcm = (np.sin(2 * np.pi * freq * t) * amp * 32767).astype("<i2")
+        rows.append({"audio_id": i, "bytes": pcm.tobytes()})
+    out = (rd.from_items(rows)
+           .map_batches(AudioFeatures, fn_constructor_kwargs={},
+                        batch_format="pyarrow", batch_size=8, concurrency=2)
+           .to_pandas())
+    out = out[["audio_id", "rms", "zcr"]].copy()
+    out["rms"] = out["rms"].round(6)
+    out["zcr"] = out["zcr"].round(6)
+    return out.sort_values("audio_id").reset_index(drop=True)
+
+
 @_q(
     "q40_union_counts",
     """
