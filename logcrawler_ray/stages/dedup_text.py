@@ -105,6 +105,35 @@ def split_candidates(pairs: pd.DataFrame) -> tuple[pd.DataFrame, pd.DataFrame]:
     return pairs[~mark].reset_index(drop=True), pairs[mark].reset_index(drop=True)
 
 
+def band_candidate_pairs(df: pd.DataFrame,
+                         max_bucket: int = DEFAULT_MAX_BUCKET) -> pd.DataFrame:
+    """One BAND's rows -> candidate pairs across its buckets, vectorized.
+
+    A per-(band,bucket) map_groups costs ~1-2 ms per GROUP and buckets are
+    mostly singletons (the round-1 q21 wall-time was exactly this), so the
+    groupby key is the band (few groups) and buckets are handled with one
+    value_counts + a loop over only the >=2-member buckets."""
+    counts = df["bucket"].value_counts()
+    hot = counts[counts >= 2]
+    if hot.empty:
+        return pd.DataFrame({"a": [], "b": []}, dtype=np.int64)
+    sub = df[df["bucket"].isin(hot.index)]
+    out_a: list[np.ndarray] = []
+    out_b: list[np.ndarray] = []
+    for _, g in sub.groupby("bucket"):
+        n = len(g)
+        if n > max_bucket:  # dropped-bucket marker (error channel)
+            out_a.append(np.array([-1], dtype=np.int64))
+            out_b.append(np.array([n], dtype=np.int64))
+            continue
+        ids = np.sort(g["doc_id"].to_numpy())
+        ai, bi = np.triu_indices(n, k=1)
+        out_a.append(ids[ai])
+        out_b.append(ids[bi])
+    return pd.DataFrame({"a": np.concatenate(out_a),
+                         "b": np.concatenate(out_b)})
+
+
 def minhash_lsh_candidates(ds, text_col: str = "text", id_col: str = "doc_id",
                            k: int = 64, bands: int = 16, ngram: int = 3,
                            max_bucket: int = DEFAULT_MAX_BUCKET):
@@ -112,23 +141,25 @@ def minhash_lsh_candidates(ds, text_col: str = "text", id_col: str = "doc_id",
     dropped-bucket marker rows (a=-1, b=bucket size) for buckets over
     ``max_bucket`` — see split_candidates.
 
-    Shuffle cost: only (band:int32, bucket:int64, doc_id:int64) rows move.
+    Shuffle cost: only (band:int32, bucket:int64, doc_id:int64) rows move;
+    per-group work is per BAND (16 groups), vectorized inside.
     """
     import functools
+
+    from ray.data.aggregate import Count
 
     def explode(batch: pa.Table) -> pa.Table:
         sigs = minhash_batch(batch[text_col].to_pylist(), k=k, ngram=ngram)
         return lsh_band_rows(batch[id_col].to_numpy(), sigs, bands)
 
     rows = ds.map_batches(explode, batch_format="pyarrow")
-    pairs = rows.groupby(["band", "bucket"]).map_groups(
-        functools.partial(candidate_pairs_from_groups, max_bucket=max_bucket),
+    pairs = rows.groupby("band").map_groups(
+        functools.partial(band_candidate_pairs, max_bucket=max_bucket),
         batch_format="pandas",
     )
-    # distinct (a, b) — skinny groupby
-    return pairs.groupby(["a", "b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    # distinct (a, b): native hash aggregate (no per-group pandas)
+    return (pairs.groupby(["a", "b"]).aggregate(Count(alias_name="__n"))
+            .select_columns(["a", "b"]))
 
 
 def verify_jaccard_pairs(ds, pairs_ds, text_col: str = "text",
@@ -300,27 +331,38 @@ def simhash_near_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
             }
         )
 
-    def in_group_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) < 2:
-            return pd.DataFrame({"a": [], "b": [], "hamming": []}).astype(
-                {"a": np.int64, "b": np.int64, "hamming": np.int64}
-            )
-        if len(df) > max_bucket:
-            # O(g^2) guard: dropped-bucket marker, split off below
-            return pd.DataFrame({"a": [np.int64(-1)], "b": [np.int64(len(df))],
-                                 "hamming": [np.int64(-1)]})
-        df = df.sort_values(id_col)
-        ids = df[id_col].to_numpy()
-        sh = to_uint64(df["simhash"].to_numpy())
-        ai, bi = np.triu_indices(len(ids), k=1)
-        d = hamming_batch(sh[ai], sh[bi]).astype(np.int64)
-        keep = d <= max_hamming
-        return pd.DataFrame({"a": ids[ai][keep], "b": ids[bi][keep], "hamming": d[keep]})
+    def chunk_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        """One CHUNK's rows: pairs within each equal-value bucket — the
+        groupby key is the chunk (few groups; per-group map_groups over
+        mostly-singleton (chunk,value) buckets was the wall-time)."""
+        counts = df["value"].value_counts()
+        hot = counts[counts >= 2]
+        empty = pd.DataFrame({"a": [], "b": [], "hamming": []}).astype(
+            {"a": np.int64, "b": np.int64, "hamming": np.int64})
+        if hot.empty:
+            return empty
+        out = [empty]
+        for _, g in df[df["value"].isin(hot.index)].groupby("value"):
+            n = len(g)
+            if n > max_bucket:  # O(g^2) guard: dropped-bucket marker
+                out.append(pd.DataFrame({"a": [np.int64(-1)],
+                                         "b": [np.int64(n)],
+                                         "hamming": [np.int64(-1)]}))
+                continue
+            g = g.sort_values(id_col)
+            ids = g[id_col].to_numpy()
+            sh = to_uint64(g["simhash"].to_numpy())
+            ai, bi = np.triu_indices(n, k=1)
+            d = hamming_batch(sh[ai], sh[bi]).astype(np.int64)
+            keep = d <= max_hamming
+            out.append(pd.DataFrame({"a": ids[ai][keep], "b": ids[bi][keep],
+                                     "hamming": d[keep]}))
+        return pd.concat(out, ignore_index=True)
 
     pairs = (
         ds.map_batches(explode, batch_format="pyarrow")
-        .groupby(["chunk", "value"])
-        .map_groups(in_group_pairs, batch_format="pandas")
+        .groupby("chunk")
+        .map_groups(chunk_pairs, batch_format="pandas")
         .to_pandas()
     )
     pairs = pairs.reindex(columns=["a", "b", "hamming"])
