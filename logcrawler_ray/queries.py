@@ -900,21 +900,30 @@ def q31_interarrival(sf_dir: str):
     ordered map_groups; partial counts merged by a tiny final groupby."""
     from ray.data.aggregate import Sum
 
-    def per_user(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["ts", "event_id"], kind="mergesort")
-        us = df["ts"].astype("datetime64[us]").view("int64")
-        deltas = np.diff(us.to_numpy())
-        if len(deltas) == 0:
-            return pd.DataFrame({"delta_min": [], "n": []}).astype(
-                {"delta_min": np.int64, "n": np.int64})
-        mins = np.floor(deltas / 60_000_000.0).astype(np.int64)
+    def bucketize(t: pa.Table) -> pa.Table:
+        # coarse group key: per-USER map_groups costs ~1-2 ms per group;
+        # 64 buckets keep the shuffle and vectorize the per-user diffs
+        return t.append_column(
+            "__g", pc.cast(pc.bit_wise_and(t["user_id"], 63), pa.int32()))
+
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        # NOTE output is an Arrow table: Ray's pandas block builder is
+        # ~20-40x slower for multi-row map_groups outputs (measured)
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        uid = df["user_id"].to_numpy()
+        deltas = np.diff(us)
+        same = uid[1:] == uid[:-1]
+        mins = np.floor(deltas[same] / 60_000_000.0).astype(np.int64)
         uniq, counts = np.unique(mins, return_counts=True)
-        return pd.DataFrame({"delta_min": uniq, "n": counts.astype(np.int64)})
+        return pa.table({"delta_min": pa.array(uniq, pa.int64()),
+                         "n": pa.array(counts.astype(np.int64), pa.int64())})
 
     return (
         _read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
-        .groupby("user_id")
-        .map_groups(per_user, batch_format="pandas")
+        .map_batches(bucketize, batch_format="pyarrow")
+        .groupby("__g")
+        .map_groups(per_bucket, batch_format="pandas")
         .groupby("delta_min")
         .aggregate(Sum("n", alias_name="n"))
     )

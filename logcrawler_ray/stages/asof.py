@@ -57,15 +57,25 @@ def asof_join(left_ds, right_ds, *, on: str, by: str, direction: str = "backward
     )
     both = tag_l.union(tag_r)
 
-    def empty_out() -> pd.DataFrame:
+    # canonical output column order, identical across all branches (the
+    # Arrow output blocks must agree on schema)
+    out_cols = l_names + [c + suffix if c in l_names else c for c in r_cols] \
+        + [f"{on}{suffix}"]
+
+    def finish(out: pd.DataFrame) -> pa.Table:
+        # Arrow output: Ray's pandas block builder is ~20-40x slower for
+        # multi-row map_groups outputs (measured, see queries.py q31)
+        return pa.Table.from_pandas(out[out_cols], preserve_index=False)
+
+    def empty_out() -> pa.Table:
         out = pd.DataFrame({c: pd.Series([], dtype=l_dtypes[c]) for c in l_names})
         out[f"{on}{suffix}"] = pd.Series(
             [], dtype="datetime64[us]" if on_is_ts else "float64")
         for c in r_cols:
             out[c + suffix if c in l_names else c] = pd.Series([], dtype="float64")
-        return out
+        return finish(out)
 
-    def per_group(df: pd.DataFrame) -> pd.DataFrame:
+    def per_group(df: pd.DataFrame) -> pa.Table:
         left = df.loc[df["__side"] == 0, l_names].sort_values(on, kind="mergesort")
         if left.empty:
             return empty_out()
@@ -80,14 +90,13 @@ def asof_join(left_ds, right_ds, *, on: str, by: str, direction: str = "backward
                 if on_is_ts else np.nan
             for c in r_cols:
                 out[c + suffix if c in l_names else c] = np.nan
-            return out
+            return finish(out)
         rkeep = right.copy()
         # keep the matched right time as its own column (merge_asof consumes
         # the shared `on` key, so alias it before the merge)
         rkeep[f"{on}{suffix}"] = rkeep[on]
-        return pd.merge_asof(
-            left, rkeep, on=on, direction=direction, suffixes=("", suffix)
-        )
+        return finish(pd.merge_asof(
+            left, rkeep, on=on, direction=direction, suffixes=("", suffix)))
 
     return both.groupby(by).map_groups(per_group, batch_format="pandas")
 
@@ -132,7 +141,7 @@ def closest_rows(left_ds, right_ds, *, by: str = "log_id", time_col: str = "fram
         batch_format="pyarrow",
     )
 
-    def per_group(df: pd.DataFrame) -> pd.DataFrame:
+    def per_group(df: pd.DataFrame) -> pa.Table:
         left = df[df["__side"] == 0].drop(columns="__side")
         right = df[df["__side"] == 1].sort_values([time_col, id_col], kind="mergesort")
         out = left.copy()
@@ -140,6 +149,6 @@ def closest_rows(left_ds, right_ds, *, by: str = "log_id", time_col: str = "fram
             left[time_col].to_numpy(), left[id_col].to_numpy(),
             right[time_col].to_numpy(), right[id_col].to_numpy(),
         )
-        return out
+        return pa.Table.from_pandas(out, preserve_index=False)
 
     return tag_l.union(tag_r).groupby(by).map_groups(per_group, batch_format="pandas")

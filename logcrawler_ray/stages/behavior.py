@@ -47,8 +47,14 @@ def decode_behavior_group(df: pd.DataFrame) -> pd.DataFrame:
             out_seq.append(row["seq"])
             out_sym.append(id_to_name[i])
             out_val.append(values[i])
-    return pd.DataFrame({"log_id": out_log, "seq": out_seq,
-                         "symbol": out_sym, "value": out_val})
+    import pyarrow as pa
+
+    # Arrow output: Ray's pandas block builder is ~20-40x slower for
+    # multi-row map_groups outputs (measured, see queries.py q31)
+    return pa.table({"log_id": pa.array(out_log, pa.int64()),
+                     "seq": pa.array(out_seq, pa.int64()),
+                     "symbol": pa.array(out_sym, pa.string()),
+                     "value": pa.array(out_val, pa.float64())})
 
 
 def decode_behavior(ds):

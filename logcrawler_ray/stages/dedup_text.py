@@ -116,7 +116,8 @@ def band_candidate_pairs(df: pd.DataFrame,
     counts = df["bucket"].value_counts()
     hot = counts[counts >= 2]
     if hot.empty:
-        return pd.DataFrame({"a": [], "b": []}, dtype=np.int64)
+        return pa.table({"a": pa.array([], pa.int64()),
+                         "b": pa.array([], pa.int64())})
     sub = df[df["bucket"].isin(hot.index)]
     out_a: list[np.ndarray] = []
     out_b: list[np.ndarray] = []
@@ -130,8 +131,10 @@ def band_candidate_pairs(df: pd.DataFrame,
         ai, bi = np.triu_indices(n, k=1)
         out_a.append(ids[ai])
         out_b.append(ids[bi])
-    return pd.DataFrame({"a": np.concatenate(out_a),
-                         "b": np.concatenate(out_b)})
+    # Arrow output: Ray's pandas block builder is ~20-40x slower for
+    # multi-row map_groups outputs (measured, see queries.py q31)
+    return pa.table({"a": pa.array(np.concatenate(out_a), pa.int64()),
+                     "b": pa.array(np.concatenate(out_b), pa.int64())})
 
 
 def minhash_lsh_candidates(ds, text_col: str = "text", id_col: str = "doc_id",
@@ -357,7 +360,8 @@ def simhash_near_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
             keep = d <= max_hamming
             out.append(pd.DataFrame({"a": ids[ai][keep], "b": ids[bi][keep],
                                      "hamming": d[keep]}))
-        return pd.concat(out, ignore_index=True)
+        res = pd.concat(out, ignore_index=True)
+        return pa.Table.from_pandas(res, preserve_index=False)
 
     pairs = (
         ds.map_batches(explode, batch_format="pyarrow")

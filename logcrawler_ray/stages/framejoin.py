@@ -42,17 +42,24 @@ def frame_join(game_ds, image_ds, how: str = "inner", by: str = "log_id",
         lambda t: t.append_column("__side", pa.array(np.ones(t.num_rows, np.int8))),
         batch_format="pyarrow")
 
-    def per_log(df: pd.DataFrame) -> pd.DataFrame:
+    # canonical output schema across ALL groups (Arrow-output blocks must
+    # agree; a no-image group otherwise lacks the img columns)
+    img_out = [c if c not in g_names else c + "_img"
+               for c in i_names if c not in (by, on)]
+    out_cols = g_names + img_out
+
+    def per_log(df: pd.DataFrame) -> pa.Table:
         game = df.loc[df["__side"] == 0, g_names]
         img = df.loc[df["__side"] == 1, i_names]
         if img.empty:
-            if how == "inner":
-                return game.iloc[0:0]
-            merged = game.copy()
-            return merged
-        merged = game.merge(img.drop(columns=[by]), on=on, how=how,
-                            suffixes=("", "_img"))
-        return merged
+            merged = game.iloc[0:0] if how == "inner" else game.copy()
+        else:
+            merged = game.merge(img.drop(columns=[by]), on=on, how=how,
+                                suffixes=("", "_img"))
+        # Arrow output (pandas block builder is ~20-40x slower for
+        # multi-row map_groups outputs, see queries.py q31)
+        return pa.Table.from_pandas(merged.reindex(columns=out_cols),
+                                    preserve_index=False)
 
     return tag_g.union(tag_i).groupby(by).map_groups(per_log, batch_format="pandas")
 
