@@ -432,20 +432,32 @@ def q12_asof_click_purchase(sf_dir: str):
     """,
 )
 def q20_sessionize(sf_dir: str):
-    """Session windowing (30-min gap) — the §2.8 ordered-stream pattern:
-    groupby(user) + per-group ordered pandas; the oracle is a SQL window."""
+    """Session windowing (30-min gap) — the §2.8 ordered-stream pattern.
+    Coarse-bucket groupby (64 groups; per-USER map_groups is ~1-2 ms per
+    group) with the session starts computed vectorized inside; the oracle
+    is a SQL window."""
 
-    def sessions(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["ts", "event_id"], kind="mergesort")
-        gaps = df["ts"].diff()
-        new_s = (gaps.isna() | (gaps > pd.Timedelta(minutes=30))).sum()
-        return pd.DataFrame({"user_id": [df["user_id"].iloc[0]],
-                             "n_sessions": [np.int64(new_s)]})
+    def bucketize(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "__g", pc.cast(pc.bit_wise_and(t["user_id"], 63), pa.int32()))
+
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        uid = df["user_id"].to_numpy()
+        start = np.empty(len(df), dtype=bool)
+        start[0] = True
+        start[1:] = (uid[1:] != uid[:-1]) | ((us[1:] - us[:-1]) > 30 * 60_000_000)
+        g = (pd.DataFrame({"user_id": uid, "s": start})
+             .groupby("user_id", as_index=False)["s"].sum())
+        return pa.table({"user_id": pa.array(g["user_id"].to_numpy(), pa.int64()),
+                         "n_sessions": pa.array(g["s"].to_numpy().astype(np.int64))})
 
     return (
         _read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
-        .groupby("user_id")
-        .map_groups(sessions, batch_format="pandas")
+        .map_batches(bucketize, batch_format="pyarrow")
+        .groupby("__g")
+        .map_groups(per_bucket, batch_format="pandas")
     )
 
 

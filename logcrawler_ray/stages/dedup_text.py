@@ -252,12 +252,16 @@ def verify_jaccard_pairs(ds, pairs_ds, text_col: str = "text",
     def attach(df: pd.DataFrame) -> pd.DataFrame:
         sh = df[df["pair"].isna()]
         if sh.empty:
-            return pd.DataFrame({"pair": [], "slot": [], "shingles": []})
+            return pa.table({"pair": pa.array([], pa.int64()),
+                             "slot": pa.array([], pa.int64()),
+                             "shingles": pa.array([], pa.list_(pa.uint64()))})
         shingles = sh["shingles"].iloc[0]
         p = df[df["pair"].notna()]
-        return pd.DataFrame({"pair": p["pair"].astype(np.int64),
-                             "slot": p["slot"].astype(np.int64),
-                             "shingles": [shingles] * len(p)})
+        return pa.Table.from_pandas(
+            pd.DataFrame({"pair": p["pair"].astype(np.int64),
+                          "slot": p["slot"].astype(np.int64),
+                          "shingles": [list(shingles)] * len(p)}),
+            preserve_index=False)
 
     tagged = rd.from_arrow(sides).union(shingle_ds)
     per_pair = tagged.groupby(id_col).map_groups(attach, batch_format="pandas")

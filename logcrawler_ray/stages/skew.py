@@ -81,4 +81,6 @@ def repartition_by_key(ds, key_hash_col: str, n_buckets: int):
 
     return (ds.map_batches(bucketize, batch_format="pyarrow")
             .groupby("__bucket")
-            .map_groups(lambda df: df.drop(columns="__bucket"), batch_format="pandas"))
+            .map_groups(lambda df: pa.Table.from_pandas(
+                df.drop(columns="__bucket"), preserve_index=False),
+                batch_format="pandas"))
