@@ -158,6 +158,13 @@ class CrawlState:
         counts = self._call("enqueue_batch", [(b,) for b in per_shard])
         return sum(counts)
 
+    def enqueue_routed_columns(self, parts: list[tuple]) -> int:
+        """Columnar variant: one (urls, hosts, paths, depths, prios) slice
+        per shard; the per-link tuple assembly runs inside the shards
+        (parallel in actor mode), never on the driver."""
+        counts = self._call("enqueue_columns", parts)
+        return sum(counts)
+
     # -- drain ------------------------------------------------------------
     def drain_wave(self) -> list[dict]:
         per_shard = max(1, self.cfg.wave_size // self.cfg.n_shards)
@@ -412,19 +419,26 @@ class CrawlEngine:
         if link_batches:
             tbl = pa.concat_tables(link_batches)
             if tbl.num_rows:
+                # group rows by shard while keeping (seq, idx) order inside
+                # each shard: stable sort by shard over the (seq, idx)
+                # order, then slice per shard — all numpy, no per-link
+                # driver loop; tuple assembly happens inside the shards
                 order = np.lexsort((tbl["idx"].to_numpy(),
                                     tbl["seq"].to_numpy()))
-                shard = tbl["shard"].to_numpy()
+                shard = tbl["shard"].to_numpy()[order]
+                grouped = order[np.argsort(shard, kind="stable")]
+                tbl = tbl.take(pa.array(grouped))
+                bounds = np.searchsorted(np.sort(shard),
+                                         np.arange(self.cfg.n_shards + 1))
                 urls = tbl["url"].to_pylist()
                 hosts = tbl["host"].to_pylist()
                 paths = tbl["path"].to_pylist()
-                depths = tbl["depth"].to_numpy()
-                prios = tbl["priority"].to_numpy()
-                per_shard: list[list[tuple]] = [[] for _ in range(self.cfg.n_shards)]
-                for i in order:
-                    per_shard[shard[i]].append(
-                        (urls[i], hosts[i], paths[i], int(depths[i]), int(prios[i])))
-                new_urls = st.enqueue_routed(per_shard)
+                depths = tbl["depth"].to_pylist()
+                prios = tbl["priority"].to_pylist()
+                parts = [(urls[a:b], hosts[a:b], paths[a:b], depths[a:b],
+                          prios[a:b])
+                         for a, b in zip(bounds[:-1], bounds[1:])]
+                new_urls = st.enqueue_routed_columns(parts)
 
         # 5. CHECKPOINT
         st.wave = wave_no + 1

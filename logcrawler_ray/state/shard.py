@@ -36,6 +36,15 @@ class CrawlShard:
         self.seen = GrowableSeen(seen_capacity, seed=seed + shard_id)
         self.robots = RobotsCache(robots_fetcher)
 
+    def enqueue_columns(self, urls: list[str], hosts: list[str],
+                        paths: list[str], depths: list[int],
+                        prios: list[int]) -> int:
+        """Columnar enqueue: the engine ships numpy/list slices per shard
+        and the tuple zip happens HERE — inside the shard actor, in
+        parallel across shards — instead of a driver-side Python loop over
+        every discovered link."""
+        return self.enqueue_batch(list(zip(urls, hosts, paths, depths, prios)))
+
     def enqueue_batch(self, items: list[tuple[str, str, str, int, int]]) -> int:
         """Items: (canonical_url, host, path, depth, priority), in order.
 
