@@ -26,35 +26,55 @@ from __future__ import annotations
 import pandas as pd
 
 
-def decode_behavior_group(df: pd.DataFrame) -> pd.DataFrame:
-    df = df.sort_values("seq", kind="mergesort")
-    id_to_name: dict[int, str] = {}
-    values: dict[int, float] = {}
-    out_log, out_seq, out_sym, out_val = [], [], [], []
-    log_id = df["log_id"].iloc[0]
-    for _, row in df.iterrows():
-        if row["kind"] == "complete":
-            id_to_name = {int(i): n for i, n in zip(row["ids"], row["names"])}
-            values = {int(i): float(v) for i, v in zip(row["ids"], row["values"])}
-        elif id_to_name:
-            for i, v in zip(row["ids"], row["values"]):
-                if int(i) in id_to_name:
-                    values[int(i)] = float(v)
-        else:
-            continue  # orphan sparse row before first keyframe
-        for i in sorted(values):
-            out_log.append(log_id)
-            out_seq.append(row["seq"])
-            out_sym.append(id_to_name[i])
-            out_val.append(values[i])
+def decode_behavior_group(df: pd.DataFrame):
+    """Vectorized per keyframe SEGMENT: sparse updates land in an
+    (n_rows x n_symbols) matrix that forward-fills down — the full-state
+    explosion (the expensive part: every row emits every symbol) is one
+    reshape instead of a per-row Python loop. Orphan sparse rows before
+    the first keyframe are skipped, unknown ids ignored, exactly like the
+    serial reference (11_input_behavior_symbols.py:261-295)."""
+    import numpy as np
     import pyarrow as pa
 
-    # Arrow output: Ray's pandas block builder is ~20-40x slower for
-    # multi-row map_groups outputs (measured, see queries.py q31)
-    return pa.table({"log_id": pa.array(out_log, pa.int64()),
-                     "seq": pa.array(out_seq, pa.int64()),
-                     "symbol": pa.array(out_sym, pa.string()),
-                     "value": pa.array(out_val, pa.float64())})
+    df = df.sort_values("seq", kind="mergesort")
+    log_id = int(df["log_id"].iloc[0])
+    kinds = df["kind"].tolist()
+    seqs = df["seq"].to_numpy()
+    key_rows = [i for i, k in enumerate(kinds) if k == "complete"]
+    empty = pa.table({"log_id": pa.array([], pa.int64()),
+                      "seq": pa.array([], pa.int64()),
+                      "symbol": pa.array([], pa.string()),
+                      "value": pa.array([], pa.float64())})
+    if not key_rows:
+        return empty
+    parts = []
+    ids_col = df["ids"].tolist()
+    vals_col = df["values"].tolist()
+    names_col = df["names"].tolist()
+    for si, start in enumerate(key_rows):
+        end = key_rows[si + 1] if si + 1 < len(key_rows) else len(df)
+        ids0 = np.asarray([int(i) for i in ids_col[start]], dtype=np.int64)
+        order = np.argsort(ids0)  # emission iterates sorted ids
+        ids_sorted = ids0[order]
+        names_sorted = np.asarray(list(names_col[start]), dtype=object)[order]
+        id_pos = {int(i): p for p, i in enumerate(ids_sorted)}
+        n_rows = end - start
+        n_ids = len(ids_sorted)
+        M = np.full((n_rows, n_ids), np.nan)
+        M[0] = np.asarray([float(v) for v in vals_col[start]])[order]
+        for r in range(1, n_rows):
+            for i, v in zip(ids_col[start + r], vals_col[start + r]):
+                p = id_pos.get(int(i))
+                if p is not None:
+                    M[r, p] = float(v)
+        filled = pd.DataFrame(M).ffill().to_numpy()
+        parts.append(pa.table({
+            "log_id": pa.array(np.full(n_rows * n_ids, log_id, dtype=np.int64)),
+            "seq": pa.array(np.repeat(seqs[start:end], n_ids).astype(np.int64)),
+            "symbol": pa.array(np.tile(names_sorted, n_rows), pa.string()),
+            "value": pa.array(filled.reshape(-1), pa.float64()),
+        }))
+    return pa.concat_tables(parts) if parts else empty
 
 
 def decode_behavior(ds):
