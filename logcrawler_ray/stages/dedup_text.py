@@ -83,20 +83,6 @@ def lsh_band_rows(doc_ids: np.ndarray, sigs: np.ndarray, bands: int = 16) -> pa.
 DEFAULT_MAX_BUCKET = 512
 
 
-def candidate_pairs_from_groups(df: pd.DataFrame,
-                                max_bucket: int = DEFAULT_MAX_BUCKET) -> pd.DataFrame:
-    """Per (band,bucket) group -> all doc_id pairs (a < b); oversize buckets
-    -> a single dropped-bucket marker (a=-1, b=group size)."""
-    n = len(df)
-    if n < 2:
-        return pd.DataFrame({"a": [], "b": []}, dtype=np.int64)
-    if n > max_bucket:
-        return pd.DataFrame({"a": [np.int64(-1)], "b": [np.int64(n)]})
-    ids = np.sort(df["doc_id"].to_numpy())
-    ai, bi = np.triu_indices(len(ids), k=1)
-    return pd.DataFrame({"a": ids[ai], "b": ids[bi]})
-
-
 def split_candidates(pairs: pd.DataFrame) -> tuple[pd.DataFrame, pd.DataFrame]:
     """Separate real candidate pairs from dropped-bucket markers (a == -1).
     Returns (pairs, dropped) where dropped has one row per dropped bucket
