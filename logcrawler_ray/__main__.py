@@ -93,6 +93,23 @@ def cmd_report(args) -> int:
     return 0
 
 
+def cmd_repr_export(args) -> int:
+    import os
+
+    from .pipelines.repr_export import export_representation_sets
+    from .sources.store import ImageStore
+
+    folders = sorted(
+        os.path.join(args.root, d) for d in os.listdir(args.root)
+        if os.path.isdir(os.path.join(args.root, d)))
+    if args.reverse:  # the reference's --reverse traversal (03:70)
+        folders = folders[::-1]
+    store = ImageStore(args.store) if args.store else None
+    done = export_representation_sets(folders, store=store, force=args.force)
+    print(json.dumps({"processed": len(done), "folders": sorted(done)}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="logcrawler_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -132,6 +149,16 @@ def main(argv: list[str] | None = None) -> int:
     r = sub.add_parser("report", help="partition/lineage report from manifests")
     r.add_argument("--store", required=True)
     r.set_defaults(fn=cmd_report)
+
+    e = sub.add_parser("repr-export",
+                       help="write per-log representation.json artifacts "
+                            "(03_representation_exporter analog)")
+    e.add_argument("--root", required=True, help="directory of log folders")
+    e.add_argument("--store", default=None,
+                   help="optional ImageStore for the DB-field manifest meta")
+    e.add_argument("--force", action="store_true")
+    e.add_argument("--reverse", action="store_true")
+    e.set_defaults(fn=cmd_repr_export)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -68,12 +68,19 @@ def topk_cosine(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
                          "sim": pa.array(out_sim, pa.float64())})
 
     cands = ds.map_batches(local_topk, batch_format="pyarrow").to_pandas()
-    rows = []
-    for qid, grp in cands.groupby("q_id"):
-        grp = grp.sort_values(["sim", id_col], ascending=[False, True]).head(k)
-        for rank, (_, r) in enumerate(grp.iterrows(), start=1):
-            rows.append((qid, int(r[id_col]), rank))
-    return pd.DataFrame(rows, columns=["q_id", id_col, "rank"]).astype(np.int64)
+    return _merge_topk(cands, k, id_col)
+
+
+def _merge_topk(cands: pd.DataFrame, k: int, id_col: str) -> pd.DataFrame:
+    """Merge per-block candidate rows into the global top-k per query —
+    vectorized (sort + groupby head + cumcount), no per-query Python."""
+    if cands.empty:
+        return pd.DataFrame({"q_id": [], id_col: [], "rank": []}).astype(np.int64)
+    top = (cands.sort_values(["q_id", "sim", id_col],
+                             ascending=[True, False, True], kind="mergesort")
+           .groupby("q_id", sort=True).head(k).copy())
+    top["rank"] = top.groupby("q_id").cumcount() + 1
+    return top[["q_id", id_col, "rank"]].astype(np.int64).reset_index(drop=True)
 
 
 def cosine_neardup_pairs(ds, threshold: float = 0.9, id_col: str = "vec_id",
@@ -208,12 +215,7 @@ def ivf_topk_cosine(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
                          "sim": pa.array(out_sim, pa.float64())})
 
     cands = ds.map_batches(local, batch_format="pyarrow").to_pandas()
-    rows = []
-    for qid, grp in cands.groupby("q_id"):
-        grp = grp.sort_values(["sim", id_col], ascending=[False, True]).head(k)
-        for rank, (_, r) in enumerate(grp.iterrows(), start=1):
-            rows.append((qid, int(r[id_col]), rank))
-    return pd.DataFrame(rows, columns=["q_id", id_col, "rank"]).astype(np.int64)
+    return _merge_topk(cands, k, id_col)
 
 
 # ------------------------------------------------------------------ LSH
@@ -265,9 +267,4 @@ def lsh_topk_cosine(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
                          "sim": pa.array(out_sim, pa.float64())})
 
     cands = ds.map_batches(local, batch_format="pyarrow").to_pandas()
-    rows = []
-    for qid, grp in cands.groupby("q_id"):
-        grp = grp.sort_values(["sim", id_col], ascending=[False, True]).head(k)
-        for rank, (_, r) in enumerate(grp.iterrows(), start=1):
-            rows.append((qid, int(r[id_col]), rank))
-    return pd.DataFrame(rows, columns=["q_id", id_col, "rank"]).astype(np.int64)
+    return _merge_topk(cands, k, id_col)

@@ -69,3 +69,26 @@ def test_export_representation_sets(ray_session, tmp_path):
     # force reprocesses
     again = export_representation_sets([str(a), str(b)], store=store, force=True)
     assert set(again) == {str(a), str(b)}
+
+def test_cli_repr_export(ray_session, tmp_path, capsys):
+    from logcrawler_ray.__main__ import main
+
+    d = tmp_path / "logs" / "game_x"
+    os.makedirs(d)
+    _make_log(d / "combined.log", ["FrameInfo"])
+    main(["repr-export", "--root", str(tmp_path / "logs")])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["processed"] == 1
+    assert json.load(open(d / "representation.json")) == {
+        "cognition_representations": ["FrameInfo"]}
+
+
+def test_wide_row_tuning_targets():
+    from logcrawler_ray.tuning import RAW_IMAGE_ROW_BYTES, wide_row_targets
+
+    t = wide_row_targets(concurrency=32)
+    # batch x concurrency x inflight stays under the 2 GiB heap budget
+    assert t["batch_size"] * 32 * RAW_IMAGE_ROW_BYTES * 6 <= (2 << 30) * 1.05
+    assert t["target_max_block_size"] >= t["batch_size"] * RAW_IMAGE_ROW_BYTES
+    # tiny rows -> batch floors at a sane minimum
+    assert wide_row_targets(row_bytes=100)["batch_size"] >= 8
