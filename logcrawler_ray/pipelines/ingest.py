@@ -68,6 +68,46 @@ def decode_pipeline(ds, *, concurrency: int | tuple[int, int] | None = 4,
     )
 
 
+class IngestStage:
+    """Fused decode -> stats -> bucket -> parquet-sink stage (the WaveStage
+    pattern for ingest): each task writes its committed rows straight into
+    the raw partition's pre-created tmp dir and returns ONLY the skinny
+    (phash, image_id) columns — so one execution yields both the stored
+    payloads and the dedup input, with no separate write operator and no
+    skinny re-read. Output files are named by the batch's min image_id, so
+    a retried task overwrites its own file."""
+
+    def __init__(self, tmp_dir: str, keep_bytes: bool = True,
+                 n_buckets: int = DEFAULT_BUCKETS, compression: str = "none"):
+        self.decode = DecodeStats(keep_bytes=keep_bytes)
+        self.tmp_dir = tmp_dir
+        self.n_buckets = n_buckets
+        self.compression = compression
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import os
+
+        import pyarrow.parquet as pq
+
+        out = self.decode(batch)
+        ok = out.filter(out["decode_ok"])
+        if ok.num_rows:
+            hh = ok["host_hash"].to_numpy(zero_copy_only=False).view(np.uint64)
+            ok = ok.append_column("bucket", pa.array(
+                (hh % np.uint64(self.n_buckets)).astype(np.int32)))
+            from ..functions.hashing import hash64_str
+
+            # deterministic per-batch file name (batches partition the ids,
+            # so min id is unique per batch; retried tasks overwrite)
+            tag = format(int(hash64_str(min(ok["image_id"].to_pylist()))), "016x")
+            pq.write_table(ok, os.path.join(self.tmp_dir, f"part-{tag}.parquet"),
+                           compression=self.compression)
+        if not ok.num_rows:
+            return pa.table({"phash": pa.array([], pa.int64()),
+                             "image_id": pa.array([], pa.string())})
+        return ok.select(["phash", "image_id"])
+
+
 def ingest_sharded(source_files: list[str], store: ImageStore, *,
                    pid: str = "ingest", files_per_shard: int = 8,
                    concurrency: int | tuple[int, int] | None = None,
@@ -172,22 +212,40 @@ def ingest(source_ds, store: ImageStore | None = None, pid: str = "ingest", *,
             ds = dedup_exact(ds, key="phash", order_col="image_id")
         return ds
 
-    raw_pid = f"{pid}-raw"
+    from ..stages.dedup import exact_losers
+
+    raw_pid = f"{pid}-raw" if dedup else pid
+    losers: frozenset | None = None
     if not store.is_done(raw_pid):
-        ds = decode_pipeline(source_ds, concurrency=concurrency, batch_size=batch_size,
-                             keep_bytes=keep_bytes)
-        ds = add_bucket(ds, n_buckets)
+        # ONE fused execution: decode+stats+bucket+sink per task, skinny
+        # (phash, image_id) rows as the return stream — no separate write
+        # operator, no skinny re-read of the just-written partition
+        tmp_dir = store.external_tmp(raw_pid)
+        kwargs = dict(tmp_dir=tmp_dir, keep_bytes=keep_bytes,
+                      n_buckets=n_buckets, compression=store.compression)
+        if concurrency is None:
+            skinny = source_ds.map_batches(IngestStage(**kwargs),
+                                           batch_format="pyarrow",
+                                           batch_size=batch_size)
+        else:
+            skinny = source_ds.map_batches(IngestStage,
+                                           fn_constructor_kwargs=kwargs,
+                                           batch_format="pyarrow",
+                                           batch_size=batch_size,
+                                           concurrency=concurrency)
+        skinny = skinny.materialize()  # drives the sinks; 16 B/row retained
+        store.commit_external(raw_pid, tmp_dir,
+                              meta={"pipeline": "ingest",
+                                    "stage": "raw" if dedup else "final"})
         if not dedup:
-            store.append_dataset(pid, ds, meta={"pipeline": "ingest"})
             return store.read_dataset(pid)
-        store.append_dataset(raw_pid, ds, meta={"pipeline": "ingest", "stage": "raw"})
+        losers = exact_losers(skinny, "phash", "image_id")
     elif not dedup:
         return store.read_dataset(pid)
 
-    from ..stages.dedup import exact_losers
-
-    skinny = store.read_dataset(raw_pid, columns=["phash", "image_id"])
-    losers = exact_losers(skinny, "phash", "image_id")
+    if losers is None:  # resume path: raw committed earlier, recompute skinny
+        skinny = store.read_dataset(raw_pid, columns=["phash", "image_id"])
+        losers = exact_losers(skinny, "phash", "image_id")
     # dedup as metadata: commit a delete-vector view over the raw partition —
     # the payload bytes are written exactly once (lakehouse delete vectors;
     # Lance deletions). Readers of `pid` get the filtered stream.
