@@ -134,10 +134,23 @@ def ingest_sharded(source_files: list[str], store: ImageStore, *,
         shard_ids.append(spid)
         if store.is_done(spid):
             continue
+        # fused decode+sink per shard (IngestStage); the returned skinny
+        # stream is discarded here — the cross-shard dedup pass below
+        # re-reads it column-pruned so resume never re-decodes
+        tmp_dir = store.external_tmp(spid)
+        kwargs = dict(tmp_dir=tmp_dir, n_buckets=n_buckets,
+                      compression=store.compression)
         ds = rd.read_parquet(group)
-        ds = decode_pipeline(ds, concurrency=concurrency, batch_size=batch_size)
-        ds = add_bucket(ds, n_buckets)
-        store.append_dataset(spid, ds, meta={"pipeline": "ingest", "files": group})
+        if concurrency is None:
+            out = ds.map_batches(IngestStage(**kwargs), batch_format="pyarrow",
+                                 batch_size=batch_size)
+        else:
+            out = ds.map_batches(IngestStage, fn_constructor_kwargs=kwargs,
+                                 batch_format="pyarrow", batch_size=batch_size,
+                                 concurrency=concurrency)
+        out.materialize()  # drives the sinks
+        store.commit_external(spid, tmp_dir,
+                              meta={"pipeline": "ingest", "files": group})
 
     if store.is_done(pid):
         return pid
