@@ -63,7 +63,23 @@ def cmd_ingest(args) -> int:
     if args.force:
         shutil.rmtree(args.store, ignore_errors=True)
         store = ImageStore(args.store)
-    pid = ingest_sharded(files, store, pid=args.pid, files_per_shard=args.shards_of)
+    # memory-aware sizing from the actual input row width (tuning.py):
+    # block/batch targets so batch x concurrency fits a worker heap
+    import pyarrow.parquet as pq
+
+    from .tuning import apply_wide_row_context
+
+    meta = pq.read_metadata(files[0])
+    row_bytes = max(1, meta.serialized_size if meta.num_rows == 0
+                    else sum(meta.row_group(i).total_byte_size
+                             for i in range(meta.num_row_groups)) // max(1, meta.num_rows))
+    import os as _os
+
+    t = apply_wide_row_context(row_bytes=row_bytes,
+                               concurrency=_os.cpu_count() or 8)
+    pid = ingest_sharded(files, store, pid=args.pid,
+                         files_per_shard=args.shards_of,
+                         batch_size=t["batch_size"])
     print(json.dumps({"pid": pid, "rows": store.rows(pid) if store.is_done(pid) else None,
                       "partitions": store.partitions()}))
     return 0

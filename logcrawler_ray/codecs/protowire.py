@@ -158,11 +158,26 @@ def decode_message(buf: bytes, schema: dict) -> dict:
             if isinstance(inner, tuple) and inner[0] == "message":
                 out.setdefault(name, []).append(decode_message(raw, inner[1]))
             elif wire == _WIRE_LEN and inner not in ("string", "bytes"):
-                # packed repeated scalars (varint-packed)
-                pos = 0
-                while pos < len(raw):
-                    v, pos = read_varint(raw, pos)
-                    out.setdefault(name, []).append(_decode_scalar(inner, _WIRE_VARINT, v))
+                # packed repeated scalars: fixed-width kinds step 4/8 bytes,
+                # everything else is varint-packed (per the wire spec)
+                lst = out.setdefault(name, [])
+                if inner in ("float", "fixed32", "sfixed32"):
+                    if len(raw) % 4:
+                        raise WireError("packed 32-bit field not 4-byte aligned")
+                    for i in range(0, len(raw), 4):
+                        (v,) = struct.unpack_from("<I", raw, i)
+                        lst.append(_decode_scalar(inner, _WIRE_I32, v))
+                elif inner in ("double", "fixed64", "sfixed64"):
+                    if len(raw) % 8:
+                        raise WireError("packed 64-bit field not 8-byte aligned")
+                    for i in range(0, len(raw), 8):
+                        (v,) = struct.unpack_from("<Q", raw, i)
+                        lst.append(_decode_scalar(inner, _WIRE_I64, v))
+                else:
+                    pos = 0
+                    while pos < len(raw):
+                        v, pos = read_varint(raw, pos)
+                        lst.append(_decode_scalar(inner, _WIRE_VARINT, v))
             else:
                 out.setdefault(name, []).append(_decode_scalar(inner, wire, raw))
         elif isinstance(kind, tuple) and kind[0] == "message":

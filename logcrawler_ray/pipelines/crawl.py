@@ -59,7 +59,9 @@ class CrawlConfig:
     max_depth: int = 3
     max_waves: int = 50
     seen_capacity: int = 1 << 16  # per shard
-    fetch_concurrency: int | tuple = 4
+    fetch_concurrency: int | tuple = 4  # actor-pool size of the fused WaveStage
+    # NOTE decode is fused into WaveStage (fetch_concurrency sizes the one
+    # pool); decode_concurrency is accepted for config compatibility only
     decode_concurrency: int | tuple = 4
     batch_size: int = 64
     # Actor pools are per-Dataset-execution in Ray Data, so a BSP loop pays
@@ -148,13 +150,6 @@ class CrawlState:
             per_shard[self.shard_of(host)].append(
                 (cu, host, path, depth,
                  url_priority(cu, self.cfg.seed, self.cfg.priority_mode)))
-        counts = self._call("enqueue_batch", [(b,) for b in per_shard])
-        return sum(counts)
-
-    def enqueue_routed(self, per_shard: list[list[tuple]]) -> int:
-        """Enqueue pre-canonicalized, pre-routed items (the engine computes
-        canonical URL / host / priority / shard distributed inside the wave
-        pipeline; the driver only splits the ordered rows per shard)."""
         counts = self._call("enqueue_batch", [(b,) for b in per_shard])
         return sum(counts)
 
@@ -332,6 +327,18 @@ class CrawlEngine:
 
     # -- lifecycle --------------------------------------------------------
     def start(self, seeds: list[dict]) -> None:
+        # a FRESH crawl must not inherit a previous run's fetch log (the
+        # checkpoint-resident log used to reset here; the store-resident
+        # one needs an explicit wipe — review finding r2)
+        import os
+        import shutil
+
+        for pid in self.log_store.partitions():
+            try:
+                os.remove(self.log_store._manifest_path(pid))
+            except OSError:
+                pass
+            shutil.rmtree(self.log_store._part_dir(pid), ignore_errors=True)
         self.state = CrawlState(self.cfg, use_actors=self.cfg.use_shard_actors)
         self.state.enqueue([s["url"] for s in seeds], [s["depth"] for s in seeds])
         self.ckpt.save(0, {"cfg_seed": self.cfg.seed, "state": self.state.state()})

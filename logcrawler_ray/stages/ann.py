@@ -172,6 +172,11 @@ def ivf_topk_cosine(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
 
     from ..functions.hashing import splitmix64
 
+    # ONE upstream execution: materialize the skinny projection, then the
+    # count is metadata and both the sampling scan and the query scan read
+    # the materialized blocks (a lazy ds would re-execute its whole
+    # pipeline three times — CLAUDE.md lazy-double-execution lesson)
+    ds = ds.select_columns([id_col, vec_col]).materialize()
     n_total = ds.count()
     rate = max(1, n_total // max(1, train_sample))
 

@@ -37,15 +37,30 @@ def asof_join(left_ds, right_ds, *, on: str, by: str, direction: str = "backward
     # column lists (never dropna(axis=1), which nukes ALL columns on a
     # one-sided-empty group) and restore left dtypes after the union
     # null-fill upcasts them (int64 -> float64 drift otherwise).
-    sch = left_ds.schema()
-    l_names = list(sch.names)
-    l_dtypes: dict[str, np.dtype] = {}
-    for n, t in zip(sch.names, sch.types):
-        if isinstance(t, pa.DataType):  # arrow-backed blocks
-            l_dtypes[n] = pa.schema([(n, t)]).empty_table().to_pandas().dtypes[n]
-        else:  # pandas-backed blocks: numpy dtype already
-            l_dtypes[n] = t
+    def _pandas_dtypes(ds) -> tuple[list[str], dict]:
+        sch = ds.schema()
+        out: dict = {}
+        for n, t in zip(sch.names, sch.types):
+            if isinstance(t, pa.DataType):  # arrow-backed blocks
+                out[n] = pa.schema([(n, t)]).empty_table().to_pandas().dtypes[n]
+            else:  # pandas-backed blocks: numpy dtype already
+                out[n] = t
+        return list(sch.names), out
+
+    l_names, l_dtypes = _pandas_dtypes(left_ds)
+    _, r_dtypes = _pandas_dtypes(right_ds)
     on_is_ts = pd.api.types.is_datetime64_any_dtype(l_dtypes[on])
+
+    def _null_right(dtype) -> tuple:
+        """(empty-series dtype, null fill value) for an unmatched right
+        column — typed from the RIGHT schema so one-sided groups emit the
+        same Arrow schema as matched groups (object/string columns would
+        otherwise hardcode to float64 NaN and fail block unification)."""
+        if pd.api.types.is_datetime64_any_dtype(dtype):
+            return "datetime64[us]", pd.NaT
+        if pd.api.types.is_float_dtype(dtype) or pd.api.types.is_integer_dtype(dtype):
+            return "float64", np.nan  # int null-fills as float, like merge_asof
+        return object, None
 
     tag_l = left_ds.map_batches(
         lambda t: t.append_column("__side", pa.array(np.zeros(t.num_rows, dtype=np.int8))),
@@ -63,16 +78,30 @@ def asof_join(left_ds, right_ds, *, on: str, by: str, direction: str = "backward
         + [f"{on}{suffix}"]
 
     def finish(out: pd.DataFrame) -> pa.Table:
+        # one canonical output dtype per right column across ALL groups
+        # (an all-matched group would otherwise emit int64 where a group
+        # with misses emits float64 — Arrow blocks must unify)
+        out = out[out_cols].copy()
+        for c in r_cols:
+            name = c + suffix if c in l_names else c
+            dt, _ = _null_right(r_dtypes[c])
+            if out[name].dtype != dt:
+                out[name] = out[name].astype(dt)
+        ts_name = f"{on}{suffix}"
+        ts_dt = "datetime64[us]" if on_is_ts else "float64"
+        if out[ts_name].dtype != ts_dt:
+            out[ts_name] = out[ts_name].astype(ts_dt)
         # Arrow output: Ray's pandas block builder is ~20-40x slower for
         # multi-row map_groups outputs (measured, see queries.py q31)
-        return pa.Table.from_pandas(out[out_cols], preserve_index=False)
+        return pa.Table.from_pandas(out, preserve_index=False)
 
     def empty_out() -> pa.Table:
         out = pd.DataFrame({c: pd.Series([], dtype=l_dtypes[c]) for c in l_names})
         out[f"{on}{suffix}"] = pd.Series(
             [], dtype="datetime64[us]" if on_is_ts else "float64")
         for c in r_cols:
-            out[c + suffix if c in l_names else c] = pd.Series([], dtype="float64")
+            dt, _ = _null_right(r_dtypes[c])
+            out[c + suffix if c in l_names else c] = pd.Series([], dtype=dt)
         return finish(out)
 
     def per_group(df: pd.DataFrame) -> pa.Table:
@@ -89,8 +118,13 @@ def asof_join(left_ds, right_ds, *, on: str, by: str, direction: str = "backward
                 [pd.NaT] * len(out), dtype="datetime64[us]", index=out.index) \
                 if on_is_ts else np.nan
             for c in r_cols:
-                out[c + suffix if c in l_names else c] = np.nan
+                dt, fill = _null_right(r_dtypes[c])
+                out[c + suffix if c in l_names else c] = pd.Series(
+                    [fill] * len(out), dtype=dt, index=out.index)
             return finish(out)
+        for c in [on] + r_cols:  # undo union null-fill upcasts on the right
+            if right[c].dtype != r_dtypes[c] and not right[c].isna().any():
+                right[c] = right[c].astype(r_dtypes[c])
         rkeep = right.copy()
         # keep the matched right time as its own column (merge_asof consumes
         # the shared `on` key, so alias it before the merge)

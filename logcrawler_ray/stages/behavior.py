@@ -53,15 +53,21 @@ def decode_behavior_group(df: pd.DataFrame):
     names_col = df["names"].tolist()
     for si, start in enumerate(key_rows):
         end = key_rows[si + 1] if si + 1 < len(key_rows) else len(df)
-        ids0 = np.asarray([int(i) for i in ids_col[start]], dtype=np.int64)
-        order = np.argsort(ids0)  # emission iterates sorted ids
-        ids_sorted = ids0[order]
-        names_sorted = np.asarray(list(names_col[start]), dtype=object)[order]
+        # keyframe maps built with dict(zip(...)) like the serial reference
+        # (11:209-252): mismatched list lengths truncate, duplicate ids
+        # dedupe last-wins; only ids with BOTH a name and a value emit
+        kf_names = dict(zip((int(i) for i in ids_col[start]), names_col[start]))
+        kf_vals = dict(zip((int(i) for i in ids_col[start]),
+                           (float(v) for v in vals_col[start])))
+        ids_sorted = np.asarray(
+            sorted(i for i in kf_vals if i in kf_names), dtype=np.int64)
+        names_sorted = np.asarray([kf_names[i] for i in ids_sorted], dtype=object)
         id_pos = {int(i): p for p, i in enumerate(ids_sorted)}
         n_rows = end - start
         n_ids = len(ids_sorted)
         M = np.full((n_rows, n_ids), np.nan)
-        M[0] = np.asarray([float(v) for v in vals_col[start]])[order]
+        if n_ids:
+            M[0] = np.asarray([kf_vals[i] for i in ids_sorted])
         for r in range(1, n_rows):
             for i, v in zip(ids_col[start + r], vals_col[start + r]):
                 p = id_pos.get(int(i))

@@ -78,17 +78,24 @@ def lsh_band_rows(doc_ids: np.ndarray, sigs: np.ndarray, bands: int = 16) -> pa.
 
 # A degenerate bucket (template pages, empty docs hashing identically)
 # makes all-pairs generation O(g^2) — the round-1 "no bucket-size cap"
-# scale hole. Buckets past the cap emit ONE marker row (a=-1, b=size)
-# instead of g^2/2 pairs; callers split markers off via split_candidates.
+# scale hole. Buckets past the cap emit ONE marker row (a = -size,
+# b = bucket key — so markers from different buckets stay distinct through
+# the pair-dedup) instead of g^2/2 pairs; split via split_candidates.
 DEFAULT_MAX_BUCKET = 512
 
 
 def split_candidates(pairs: pd.DataFrame) -> tuple[pd.DataFrame, pd.DataFrame]:
-    """Separate real candidate pairs from dropped-bucket markers (a == -1).
-    Returns (pairs, dropped) where dropped has one row per dropped bucket
-    with its size in ``b`` — the error channel for capacity decisions."""
-    mark = pairs["a"] == -1
-    return pairs[~mark].reset_index(drop=True), pairs[mark].reset_index(drop=True)
+    """Separate real candidate pairs from dropped-bucket markers (a < 0).
+    Returns (pairs, dropped); dropped carries one row per dropped bucket
+    with its size in the ``size`` column (decoded from -a) — the error
+    channel for capacity decisions."""
+    mark = pairs["a"] < 0
+    dropped = pairs[mark].reset_index(drop=True).copy()
+    if len(dropped):
+        dropped["size"] = -dropped["a"]
+    else:
+        dropped["size"] = pd.Series([], dtype=np.int64)
+    return pairs[~mark].reset_index(drop=True), dropped
 
 
 def band_candidate_pairs(df: pd.DataFrame,
@@ -107,11 +114,11 @@ def band_candidate_pairs(df: pd.DataFrame,
     sub = df[df["bucket"].isin(hot.index)]
     out_a: list[np.ndarray] = []
     out_b: list[np.ndarray] = []
-    for _, g in sub.groupby("bucket"):
+    for bucket, g in sub.groupby("bucket"):
         n = len(g)
         if n > max_bucket:  # dropped-bucket marker (error channel)
-            out_a.append(np.array([-1], dtype=np.int64))
-            out_b.append(np.array([n], dtype=np.int64))
+            out_a.append(np.array([-n], dtype=np.int64))
+            out_b.append(np.array([bucket], dtype=np.int64))
             continue
         ids = np.sort(g["doc_id"].to_numpy())
         ai, bi = np.triu_indices(n, k=1)
@@ -127,8 +134,9 @@ def minhash_lsh_candidates(ds, text_col: str = "text", id_col: str = "doc_id",
                            k: int = 64, bands: int = 16, ngram: int = 3,
                            max_bucket: int = DEFAULT_MAX_BUCKET):
     """Dataset of docs -> Dataset of distinct candidate pairs (a < b), plus
-    dropped-bucket marker rows (a=-1, b=bucket size) for buckets over
-    ``max_bucket`` — see split_candidates.
+    dropped-bucket marker rows (a = -bucket_size, b = bucket key; one per
+    dropped bucket) for buckets over ``max_bucket`` — ALWAYS run the
+    result through split_candidates before treating rows as pairs.
 
     Shuffle cost: only (band:int32, bucket:int64, doc_id:int64) rows move;
     per-group work is per BAND (16 groups), vectorized inside.
@@ -180,7 +188,7 @@ def verify_jaccard_pairs(ds, pairs_ds, text_col: str = "text",
 
         logging.getLogger(__name__).warning(
             "verify_jaccard_pairs: %d oversize LSH buckets dropped (sizes %s)",
-            len(dropped), dropped["b"].tolist()[:10])
+            len(dropped), dropped["size"].tolist()[:10])
     if pairs.empty:
         return pairs.assign(jaccard=pd.Series(dtype=float))
     needed = np.unique(np.concatenate([pairs["a"].to_numpy(),
@@ -226,7 +234,21 @@ def verify_jaccard_pairs(ds, pairs_ds, text_col: str = "text",
                .map_batches(check, batch_format="pyarrow").to_pandas())
         return out.sort_values(["a", "b"]).reset_index(drop=True)
 
-    # co-group scale path: shingles never leave the cluster
+    # co-group scale path: shingles never leave the cluster.
+    # Candidate ids ABSENT from the corpus must behave like empty-set docs
+    # (the broadcast path's sets.get(id, set()) semantics — review finding:
+    # silently dropping their pairs diverged between the two paths), so
+    # inject an empty shingle row for each missing id; only the skinny id
+    # column is collected to find them.
+    shingle_ds = shingle_ds.materialize()  # bounded: candidate docs only
+    present = {r[id_col] for r in
+               shingle_ds.select_columns([id_col]).take_all()}
+    missing = [int(i) for i in needed if int(i) not in present]
+    if missing:
+        shingle_ds = shingle_ds.union(rd.from_arrow(pa.table({
+            id_col: pa.array(missing, pa.int64()),
+            "shingles": pa.array([[] for _ in missing], pa.list_(pa.uint64())),
+        })))
     # arrow block (from_arrow), matching shingle_ds's block type — a
     # pandas+arrow union breaks the groupby sort's block builder
     sides = pa.table({
@@ -335,11 +357,12 @@ def simhash_near_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         if hot.empty:
             return empty
         out = [empty]
-        for _, g in df[df["value"].isin(hot.index)].groupby("value"):
+        for value, g in df[df["value"].isin(hot.index)].groupby("value"):
             n = len(g)
             if n > max_bucket:  # O(g^2) guard: dropped-bucket marker
-                out.append(pd.DataFrame({"a": [np.int64(-1)],
-                                         "b": [np.int64(n)],
+                chunk = np.int64(g["chunk"].iloc[0])
+                out.append(pd.DataFrame({"a": [np.int64(-n)],
+                                         "b": [np.int64((chunk << 48) ^ (value & 0xFFFFFFFFFFFF))],
                                          "hamming": [np.int64(-1)]}))
                 continue
             g = g.sort_values(id_col)
@@ -366,7 +389,7 @@ def simhash_near_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
 
         logging.getLogger(__name__).warning(
             "simhash_near_dup_pairs: %d oversize buckets dropped (sizes %s)",
-            len(dropped), dropped["b"].tolist()[:10])
+            len(dropped), dropped["size"].tolist()[:10])
     out = (
         pairs.drop_duplicates(["a", "b"])
         .sort_values(["a", "b"])

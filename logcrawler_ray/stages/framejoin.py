@@ -42,11 +42,35 @@ def frame_join(game_ds, image_ds, how: str = "inner", by: str = "log_id",
         lambda t: t.append_column("__side", pa.array(np.ones(t.num_rows, np.int8))),
         batch_format="pyarrow")
 
-    # canonical output schema across ALL groups (Arrow-output blocks must
-    # agree; a no-image group otherwise lacks the img columns)
-    img_out = [c if c not in g_names else c + "_img"
-               for c in i_names if c not in (by, on)]
-    out_cols = g_names + img_out
+    # canonical output schema + per-column null dtypes across ALL groups
+    # (Arrow-output blocks must agree; a no-image group otherwise fills
+    # the img columns with float64 NaN and fails unification when the
+    # image side has string columns)
+    def _img_dtype(t):
+        """Pandas output dtype for an image column. ``left`` mode must be
+        null-capable (missed rows) -> numerics widen to float64; ``inner``
+        keeps native dtypes (no misses within a group)."""
+        if isinstance(t, pa.DataType):
+            if pa.types.is_timestamp(t):
+                return "datetime64[us]"
+            if pa.types.is_integer(t):
+                return "float64" if how == "left" else "int64"
+            if pa.types.is_floating(t):
+                return "float64"
+            return object
+        if pd.api.types.is_datetime64_any_dtype(t):
+            return "datetime64[us]"
+        if pd.api.types.is_integer_dtype(t):
+            return "float64" if how == "left" else t
+        if pd.api.types.is_float_dtype(t):
+            return "float64"
+        return object
+
+    i_sch = image_ds.schema()
+    img_dtypes = {
+        (n if n not in g_names else n + "_img"): _img_dtype(t)
+        for n, t in zip(i_sch.names, i_sch.types) if n not in (by, on)}
+    out_cols = g_names + list(img_dtypes)
 
     def per_log(df: pd.DataFrame) -> pa.Table:
         game = df.loc[df["__side"] == 0, g_names]
@@ -56,10 +80,14 @@ def frame_join(game_ds, image_ds, how: str = "inner", by: str = "log_id",
         else:
             merged = game.merge(img.drop(columns=[by]), on=on, how=how,
                                 suffixes=("", "_img"))
+        merged = merged.reindex(columns=out_cols)
+        for c, dt in img_dtypes.items():
+            if merged[c].dtype != dt and not (dt == object and
+                                              merged[c].notna().any()):
+                merged[c] = merged[c].astype(dt)
         # Arrow output (pandas block builder is ~20-40x slower for
         # multi-row map_groups outputs, see queries.py q31)
-        return pa.Table.from_pandas(merged.reindex(columns=out_cols),
-                                    preserve_index=False)
+        return pa.Table.from_pandas(merged, preserve_index=False)
 
     return tag_g.union(tag_i).groupby(by).map_groups(per_log, batch_format="pandas")
 

@@ -126,3 +126,20 @@ def test_asof_join_left_only_group_typed_nulls(ray_session):
     g5 = out[out["user_id"] == 5]
     assert len(g5) == 2 and g5["ts_right"].isna().all()
     assert g5["event_id"].dtype == np.int64
+
+
+def test_asof_join_string_right_col_one_sided_groups(ray_session):
+    """Review repro: non-float right_cols + a group with no right rows (and
+    a right-only group) must emit one unified Arrow schema, not crash."""
+    import ray.data as rd
+
+    left = pd.DataFrame({"user_id": [1, 1, 2], "ts": [10, 20, 5],
+                         "event_id": [0, 1, 2]})
+    right = pd.DataFrame({"user_id": [1, 3], "ts": [8, 9],
+                          "tag": ["alpha", "zulu"]})
+    out = asof_join(rd.from_pandas(left), rd.from_pandas(right), on="ts",
+                    by="user_id", right_cols=["tag"]).to_pandas()
+    got = dict(zip(out["event_id"], out["tag"]))
+    assert got[0] == "alpha" and got[1] == "alpha"
+    assert got[2] is None or (isinstance(got[2], float) and np.isnan(got[2]))
+    assert len(out) == 3

@@ -230,3 +230,28 @@ def test_behavior_parallelism_safe(ray_session):
     out = decode_behavior(rd.from_items(rows)).to_pandas()
     got = sorted(map(tuple, out[["log_id", "seq", "symbol", "value"]].values.tolist()))
     assert got == sorted(reference_decode(rows))
+
+
+def test_frame_join_left_no_image_group_string_col(ray_session):
+    """Review repro: a left-join group with zero image rows must unify with
+    groups whose image side has string columns."""
+    import pandas as pd
+    import ray.data as rd
+
+    from logcrawler_ray.stages.framejoin import frame_join
+
+    game = pd.DataFrame({"log_id": [1, 1, 2], "frame_number": [5, 6, 5],
+                         "state": ["a", "b", "c"]})
+    img = pd.DataFrame({"log_id": [1, 1], "frame_number": [5, 5],
+                        "camera": ["TOP", "BOTTOM"], "offset": [0, 4]})
+    out = frame_join(rd.from_pandas(game), rd.from_pandas(img),
+                     how="left").to_pandas()
+    g1 = out[out["log_id"] == 1].sort_values(["frame_number", "camera"])
+    assert g1["camera"].dropna().tolist() == ["BOTTOM", "TOP"]
+    g2 = out[out["log_id"] == 2]
+    assert len(g2) == 1 and g2["camera"].isna().all()
+    # inner mode drops the no-image log entirely
+    out_i = frame_join(rd.from_pandas(game), rd.from_pandas(img),
+                       how="inner").to_pandas()
+    assert set(out_i["log_id"]) == {1}
+    assert out_i["offset"].dtype == np.int64  # native dtype kept in inner

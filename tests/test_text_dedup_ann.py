@@ -188,7 +188,9 @@ def test_lsh_hot_bucket_capped(ray_session):
     pairs = minhash_lsh_candidates(rd.from_pandas(docs), max_bucket=64).to_pandas()
     took = time.time() - t0
     real, dropped = split_candidates(pairs)
-    assert len(dropped) >= 1 and dropped["b"].max() >= 300
+    # every band drops its own marker: identity preserved through the
+    # pair-dedup (review finding: size-only markers collapsed across bands)
+    assert len(dropped) >= 8 and dropped["size"].max() >= 300
     # no pair from the degenerate bucket slipped through the cap
     assert not ((real["a"] < 300) & (real["b"] < 300)).any() or len(real) < 1000
     assert took < 60
@@ -266,3 +268,21 @@ def test_kmeans_deterministic():
     c1 = ann.kmeans_fit(m, 5, seed=3)
     c2 = ann.kmeans_fit(m, 5, seed=3)
     assert (c1 == c2).all()
+
+
+def test_verify_jaccard_missing_doc_paths_agree(ray_session):
+    """Candidate pairs referencing ids ABSENT from the corpus: both paths
+    must agree (both-missing -> jaccard 1.0 kept; one-missing -> 0.0
+    dropped) — review finding: the co-group path silently dropped them."""
+    import ray.data as rd
+
+    docs = pd.DataFrame({"doc_id": np.arange(4, dtype=np.int64),
+                         "text": ["alpha beta gamma delta"] * 4})
+    ds = rd.from_pandas(docs)
+    stale = pd.DataFrame({"a": [100, 0], "b": [101, 102]})  # none/one present
+    broadcast = verify_jaccard_pairs(ds, rd.from_pandas(stale), threshold=0.5)
+    cogroup = verify_jaccard_pairs(ds, rd.from_pandas(stale), threshold=0.5,
+                                   max_broadcast_docs=0)
+    pd.testing.assert_frame_equal(broadcast.reset_index(drop=True),
+                                  cogroup.reset_index(drop=True))
+    assert list(zip(broadcast["a"], broadcast["b"])) == [(100, 101)]
