@@ -69,13 +69,21 @@ def cmd_ingest(args) -> int:
 
     from .tuning import apply_wide_row_context
 
-    meta = pq.read_metadata(files[0])
-    row_bytes = max(1, meta.serialized_size if meta.num_rows == 0
-                    else sum(meta.row_group(i).total_byte_size
-                             for i in range(meta.num_row_groups)) // max(1, meta.num_rows))
+    # aggregate width over a metadata sample (footers only); empty shard
+    # files contribute nothing — a lone empty first file must not yield a
+    # tiny row_bytes and an OOM-sized batch
+    tot_bytes = tot_rows = 0
+    for f in files[:16]:
+        meta = pq.read_metadata(f)
+        tot_rows += meta.num_rows
+        tot_bytes += sum(meta.row_group(i).total_byte_size
+                         for i in range(meta.num_row_groups))
+    from .tuning import RAW_IMAGE_ROW_BYTES
+
+    row_bytes = tot_bytes // tot_rows if tot_rows else RAW_IMAGE_ROW_BYTES
     import os as _os
 
-    t = apply_wide_row_context(row_bytes=row_bytes,
+    t = apply_wide_row_context(row_bytes=max(1, row_bytes),
                                concurrency=_os.cpu_count() or 8)
     pid = ingest_sharded(files, store, pid=args.pid,
                          files_per_shard=args.shards_of,

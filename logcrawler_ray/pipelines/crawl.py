@@ -327,18 +327,32 @@ class CrawlEngine:
 
     # -- lifecycle --------------------------------------------------------
     def start(self, seeds: list[dict]) -> None:
-        # a FRESH crawl must not inherit a previous run's fetch log (the
-        # checkpoint-resident log used to reset here; the store-resident
-        # one needs an explicit wipe — review finding r2)
+        # a FRESH crawl must not inherit ANY state of a previous run in the
+        # same roots (review findings): stale fetch-log partitions, stale
+        # wave-* image partitions, and — critically — stale checkpoints,
+        # whose higher wave numbers would make CheckpointDir._prune delete
+        # the NEW run's checkpoints and resume() continue the OLD crawl.
         import os
         import shutil
 
-        for pid in self.log_store.partitions():
+        def _drop_partition(store: ImageStore, pid: str) -> None:
             try:
-                os.remove(self.log_store._manifest_path(pid))
+                os.remove(store._manifest_path(pid))
             except OSError:
                 pass
-            shutil.rmtree(self.log_store._part_dir(pid), ignore_errors=True)
+            shutil.rmtree(store._part_dir(pid), ignore_errors=True)
+
+        for pid in self.log_store.partitions():
+            _drop_partition(self.log_store, pid)
+        for pid in self.store.partitions():
+            if pid.startswith("wave-"):
+                _drop_partition(self.store, pid)
+        for f in os.listdir(self.ckpt.root):
+            if f.startswith("wave-") and f.endswith(".ckpt"):
+                try:
+                    os.remove(os.path.join(self.ckpt.root, f))
+                except OSError:
+                    pass
         self.state = CrawlState(self.cfg, use_actors=self.cfg.use_shard_actors)
         self.state.enqueue([s["url"] for s in seeds], [s["depth"] for s in seeds])
         self.ckpt.save(0, {"cfg_seed": self.cfg.seed, "state": self.state.state()})

@@ -55,30 +55,37 @@ def decode_behavior_group(df: pd.DataFrame):
         end = key_rows[si + 1] if si + 1 < len(key_rows) else len(df)
         # keyframe maps built with dict(zip(...)) like the serial reference
         # (11:209-252): mismatched list lengths truncate, duplicate ids
-        # dedupe last-wins; only ids with BOTH a name and a value emit
+        # dedupe last-wins. The symbol universe is every NAMED id; a
+        # named-but-unvalued id stays NaN (= not yet in the reference's
+        # `values` dict, so not emitted) until a sparse update sets it.
+        # Known limitation: a literal NaN VALUE is treated as absent.
         kf_names = dict(zip((int(i) for i in ids_col[start]), names_col[start]))
         kf_vals = dict(zip((int(i) for i in ids_col[start]),
                            (float(v) for v in vals_col[start])))
-        ids_sorted = np.asarray(
-            sorted(i for i in kf_vals if i in kf_names), dtype=np.int64)
+        ids_sorted = np.asarray(sorted(kf_names), dtype=np.int64)
         names_sorted = np.asarray([kf_names[i] for i in ids_sorted], dtype=object)
         id_pos = {int(i): p for p, i in enumerate(ids_sorted)}
         n_rows = end - start
         n_ids = len(ids_sorted)
         M = np.full((n_rows, n_ids), np.nan)
         if n_ids:
-            M[0] = np.asarray([kf_vals[i] for i in ids_sorted])
+            M[0] = np.asarray([kf_vals.get(i, np.nan) for i in ids_sorted])
         for r in range(1, n_rows):
             for i, v in zip(ids_col[start + r], vals_col[start + r]):
                 p = id_pos.get(int(i))
                 if p is not None:
                     M[r, p] = float(v)
-        filled = pd.DataFrame(M).ffill().to_numpy()
+        filled = pd.DataFrame(M).ffill().to_numpy().reshape(-1)
+        # NaN cells = symbols not yet valued at that row -> not emitted
+        # (the reference's `values` dict simply doesn't contain them yet)
+        mask = ~np.isnan(filled)
         parts.append(pa.table({
-            "log_id": pa.array(np.full(n_rows * n_ids, log_id, dtype=np.int64)),
-            "seq": pa.array(np.repeat(seqs[start:end], n_ids).astype(np.int64)),
-            "symbol": pa.array(np.tile(names_sorted, n_rows), pa.string()),
-            "value": pa.array(filled.reshape(-1), pa.float64()),
+            "log_id": pa.array(np.full(n_rows * n_ids, log_id,
+                                       dtype=np.int64)[mask]),
+            "seq": pa.array(np.repeat(seqs[start:end],
+                                      n_ids).astype(np.int64)[mask]),
+            "symbol": pa.array(np.tile(names_sorted, n_rows)[mask], pa.string()),
+            "value": pa.array(filled[mask], pa.float64()),
         }))
     return pa.concat_tables(parts) if parts else empty
 

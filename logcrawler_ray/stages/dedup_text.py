@@ -117,8 +117,13 @@ def band_candidate_pairs(df: pd.DataFrame,
     for bucket, g in sub.groupby("bucket"):
         n = len(g)
         if n > max_bucket:  # dropped-bucket marker (error channel)
+            # fold the band into the marker key: identical-signature docs
+            # (e.g. empty texts) produce the SAME bucket hash in every
+            # band, and size-collapsing markers would undercount 16x
+            band = np.int64(g["band"].iloc[0])
             out_a.append(np.array([-n], dtype=np.int64))
-            out_b.append(np.array([bucket], dtype=np.int64))
+            out_b.append(np.array([(band << 56) ^ (bucket & 0xFFFFFFFFFFFFFF)],
+                                  dtype=np.int64))
             continue
         ids = np.sort(g["doc_id"].to_numpy())
         ai, bi = np.triu_indices(n, k=1)

@@ -54,7 +54,10 @@ def frame_join(game_ds, image_ds, how: str = "inner", by: str = "log_id",
             if pa.types.is_timestamp(t):
                 return "datetime64[us]"
             if pa.types.is_integer(t):
-                return "float64" if how == "left" else "int64"
+                if how == "left":
+                    return "float64"
+                # inner: keep the NATIVE width (int32 stays int32)
+                return pa.schema([("c", t)]).empty_table().to_pandas().dtypes["c"]
             if pa.types.is_floating(t):
                 return "float64"
             return object

@@ -244,3 +244,27 @@ def test_q25_and_q30_deterministic_across_runs(ray_session):
     a = q.QUERIES["q30_crawl"]("/root/testdata/sf0.001")
     b = q.QUERIES["q30_crawl"]("/root/testdata/sf0.001")
     assert a.equals(b)
+
+
+def test_fresh_start_wipes_stale_run_state(ray_session, serial_run, tmp_path):
+    """Review finding: a fresh crawl into a reused store/ckpt root must not
+    inherit the previous run's checkpoints (whose higher wave numbers would
+    make pruning delete the NEW run's checkpoints and resume continue the
+    OLD crawl), wave partitions or fetch log."""
+    sc, seeds, _ = serial_run
+    cfg = CrawlConfig(**CFG)
+    root = tmp_path
+    eng1 = CrawlEngine(cfg, str(root / "store"), str(root / "ckpt"))
+    eng1.run(seeds=seeds)  # full first run: many waves, many checkpoints
+    del eng1
+
+    eng2 = CrawlEngine(cfg, str(root / "store"), str(root / "ckpt"))
+    eng2.run(seeds=seeds, max_waves=2)  # fresh SHORT run in the same roots
+    del eng2
+
+    eng3 = CrawlEngine(cfg, str(root / "store"), str(root / "ckpt"))
+    eng3.run(seeds=None)  # resume must continue the SECOND run
+    assert eng3.fetch_log() == sc.fetch_order()
+    tab = eng3.store.read_table(columns=["image_id", "phash"])
+    got = {(r["image_id"], r["phash"]) for r in tab.to_pylist()}
+    assert got == {(r["image_id"], r["phash"]) for r in sc.rows}
