@@ -868,6 +868,49 @@ def q46_behavior_tree(sf_dir: str):
             .reset_index(drop=True))
 
 
+@_q("q51_repr_export")
+def q51_repr_export(sf_dir: str):
+    """Per-log representation.json export artifact (03_representation_
+    exporter.py:58-115 analog, pipelines/repr_export.py): deterministic
+    fixture logs -> distributed scan -> JSON artifacts + manifest meta;
+    returns the flattened (folder, kind, name) rows. Rows-only."""
+    import shutil
+    import tempfile
+
+    from .pipelines.repr_export import export_representation_sets
+    from .sources.naoth import write_records
+
+    root = tempfile.mkdtemp(prefix="q51_repr_")
+    try:
+        import os
+
+        specs = {
+            "log_a": {"combined.log": ["FrameInfo", "Image", "BallCandidates"],
+                      "sensor.log": ["IMUData", "MotorJointData"]},
+            "log_b": {"game.log": ["FrameInfo", "BehaviorStateSparse"]},
+        }
+        for folder, files in specs.items():
+            os.makedirs(os.path.join(root, folder))
+            for fname, names in files.items():
+                with open(os.path.join(root, folder, fname), "wb") as f:
+                    f.write(write_records(
+                        [(1, [(n, b"x" * 8) for n in names]),
+                         (2, [(n, b"y" * 2) for n in names])]))
+        got = export_representation_sets(
+            [os.path.join(root, d) for d in sorted(specs)])
+        rows = []
+        for folder in sorted(got):
+            d = got[folder]
+            base = os.path.basename(folder)
+            for kind_key, kind in (("cognition_representations", "cognition"),
+                                   ("motion_representations", "motion")):
+                for name in d.get(kind_key, []):
+                    rows.append((base, kind, name))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return pd.DataFrame(rows, columns=["folder", "kind", "name"])
+
+
 @_q("q29_behavior_stream")
 def q29_behavior_stream(sf_dir: str):
     """Keyframe+delta ordered-state decoding (§2.8 / F7). Rows-only."""
