@@ -868,6 +868,50 @@ def q46_behavior_tree(sf_dir: str):
             .reset_index(drop=True))
 
 
+@_q("q52_image_pipeline")
+def q52_image_pipeline(sf_dir: str):
+    """The image-axis flagship as a gate: deterministic corpus -> actor-pool
+    ResizeStage (real decode -> area resize -> PNG re-encode) -> actor-pool
+    ImageFeatures (mean RGB + 4x4 luma grid) -> brute-force cosine top-3
+    over the extracted features (stages/ann.py). Rows-only deterministic."""
+    import ray.data as rd
+
+    from .sources.corpus import corpus_table
+    from .stages.ann import topk_cosine
+    from .stages.multimodal import ImageFeatures, ResizeStage
+
+    tab = corpus_table(96, seed=13).select(["image_id", "bytes", "w", "h", "fmt"])
+    chunks = [tab.slice(i * 16, 16) for i in range(6)]
+    ds = (rd.from_arrow(chunks)
+          .map_batches(ResizeStage, fn_constructor_kwargs={"out_w": 16, "out_h": 12},
+                       batch_format="pyarrow", batch_size=32, concurrency=2)
+          .map_batches(ImageFeatures, fn_constructor_kwargs={},
+                       batch_format="pyarrow", batch_size=32, concurrency=2))
+
+    def project(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        keep = _pc.and_(t["resize_ok"], pc.is_valid(t["features"]))
+        t = t.filter(keep)
+        vec_id = pc.cast(pc.binary_length(t["resized"]), pa.int64())
+        # vec_id must be unique: use a dense row id from the image_id hash
+        from .functions.hashing import hash64_str_array, to_int64
+
+        ids = to_int64(hash64_str_array(t["image_id"].to_pylist()))
+        return pa.table({"vec_id": pa.array(ids, pa.int64()),
+                         "embedding": t["features"],
+                         "n_resized_bytes": vec_id})
+
+    feats = ds.map_batches(project, batch_format="pyarrow").materialize()
+    rows = feats.take_all()
+    rows.sort(key=lambda r: r["vec_id"])
+    qm = np.stack([np.asarray(rows[i]["embedding"], dtype=np.float64)
+                   for i in range(3)])
+    qids = np.array([rows[i]["vec_id"] for i in range(3)], dtype=np.int64)
+    out = topk_cosine(feats, qm, qids, k=3)
+    return out.sort_values(["q_id", "rank"]).reset_index(drop=True)
+
+
 @_q("q51_repr_export")
 def q51_repr_export(sf_dir: str):
     """Per-log representation.json export artifact (03_representation_
