@@ -95,8 +95,10 @@ def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> list[str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--determinism"]
+    check_det = "--determinism" in sys.argv
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import ray
 
@@ -128,6 +130,15 @@ def main() -> int:
             continue
         dt = time.time() - t0
         if name not in oracles:
+            if check_det:
+                # rows-only entries have no SQL twin; the driver records
+                # their value hash, so cross-RUN stability is the contract
+                again = to_pandas(fn(sf_dir))
+                a, b = normalize(ray_df), normalize(again)
+                if not a.equals(b):
+                    failures += 1
+                    print(f"FAIL {name}: rows-only NOT deterministic across runs")
+                    continue
             print(f"ok   {name}: rows-only, {len(ray_df)} rows ({dt:.1f}s)")
             continue
         try:
