@@ -642,6 +642,42 @@ def q21_minhash_lsh_dups(sf_dir: str):
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
+@_q(
+    "q53_ngram_jaccard",
+    """
+    WITH w AS (SELECT doc_id,
+                      regexp_extract_all(lower(text), '[a-z0-9_'']+') AS toks
+               FROM documents),
+         t AS (SELECT doc_id, unnest(toks) AS tok,
+                      generate_subscripts(toks, 1) AS i FROM w),
+         gd AS (SELECT DISTINCT x.doc_id,
+                       x.tok || ' ' || y.tok || ' ' || z.tok AS gram
+                FROM t x JOIN t y ON x.doc_id = y.doc_id AND y.i = x.i + 1
+                         JOIN t z ON x.doc_id = z.doc_id AND z.i = x.i + 2),
+         sizes AS (SELECT doc_id, COUNT(*) AS n FROM gd GROUP BY doc_id),
+         common AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS c
+                    FROM gd x JOIN gd y
+                      ON x.gram = y.gram AND x.doc_id < y.doc_id
+                    GROUP BY 1, 2)
+    SELECT a, b, ROUND(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 4) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = a
+    JOIN sizes sb ON sb.doc_id = b
+    WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.2
+    """,
+)
+def q53_ngram_jaccard(sf_dir: str):
+    """EXACT word-3-gram Jaccard near-dup pairs (>= 0.2) via the sparse
+    similarity join (stages/dedup_text.py::ngram_jaccard_pairs): shingle
+    co-occurrence counts = intersection sizes, one skinny shuffle. Oracle:
+    the same definition in pure SQL (token/gram parity with functions/
+    text.words verified on the testdata — all-ASCII, no short docs)."""
+    from .stages.dedup_text import ngram_jaccard_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ngram_jaccard_pairs(ds, threshold=0.2, ngram=3)
+
+
 @_q("q22_simhash_neardup")
 def q22_simhash_neardup(sf_dir: str):
     """SimHash near-dup pairs (Hamming <= 12 over 64 bits); rows-only."""

@@ -403,3 +403,122 @@ def simhash_near_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     )
     out.attrs["dropped_buckets"] = len(dropped)
     return out
+
+
+# ------------------------------------------------------- n-gram Jaccard
+def ngram_jaccard_pairs(ds, threshold: float = 0.2, ngram: int = 3,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        max_shingle_df: int = DEFAULT_MAX_BUCKET) -> pd.DataFrame:
+    """EXACT all-pairs word-n-gram Jaccard >= threshold — the sparse
+    similarity join: docs explode to distinct (shingle, doc) rows; a pair's
+    intersection size is its shingle co-occurrence count (one skinny
+    shuffle + native count aggregate); Jaccard follows from broadcast
+    per-doc set sizes. Nothing document-sized moves or lands on the driver.
+
+    Shingles appearing in more than ``max_shingle_df`` docs are dropped
+    with a warning (the O(df^2) guard); exactness holds whenever no
+    shingle exceeds the cap. Returns (a, b, jaccard) sorted.
+    """
+    import functools
+    import ray
+    from ray.data.aggregate import Count
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy()
+        out_i: list[np.ndarray] = []
+        out_s: list[np.ndarray] = []
+        for i, txt in zip(ids, t[text_col].to_pylist()):
+            sh = shingle_hashes(txt, ngram)
+            out_i.append(np.full(len(sh), i, dtype=np.int64))
+            out_s.append(sh)
+        return pa.table({
+            id_col: pa.array(np.concatenate(out_i) if out_i else
+                             np.array([], dtype=np.int64)),
+            "sh": pa.array(to_int64(np.concatenate(out_s)) if out_s else
+                           np.array([], dtype=np.int64)),
+        })
+
+    rows = ds.map_batches(explode, batch_format="pyarrow").materialize()
+
+    sizes = (rows.groupby(id_col).aggregate(Count(alias_name="sz")).to_pandas())
+    size_ref = ray.put((pa.array(sizes[id_col].to_numpy()),
+                        pa.array(sizes["sz"].to_numpy())))
+
+    def coarse(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.append_column("__g", pc.cast(
+            pc.bit_wise_and(t["sh"], 63), pa.int32()))
+
+    def group_pairs(df: pd.DataFrame, cap: int) -> pa.Table:
+        # run-boundary scan over (sh, doc_id)-sorted numpy arrays — no
+        # pandas object per shingle (tens of thousands of tiny groups)
+        shv = df["sh"].to_numpy()
+        ids = df[id_col].to_numpy()
+        order = np.lexsort((ids, shv))
+        shv = shv[order]
+        ids = ids[order]
+        bounds = np.nonzero(np.diff(shv))[0] + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [len(shv)]])
+        triu_cache: dict[int, tuple] = {}
+        dropped = 0
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        for s, e in zip(starts, ends):
+            n = e - s
+            if n < 2:
+                continue
+            if n > cap:
+                dropped += 1
+                continue
+            tri = triu_cache.get(n)
+            if tri is None:
+                tri = triu_cache[n] = np.triu_indices(n, k=1)
+            run = ids[s:e]
+            out_a.append(run[tri[0]])
+            out_b.append(run[tri[1]])
+        if dropped:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "ngram_jaccard_pairs: %d shingles over df cap dropped", dropped)
+        if not out_a:
+            return pa.table({"pk": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        # pack (a, b) into ONE int64 key and PARTIAL-count within the
+        # group: the (a,b) shuffle then moves deduplicated skinny rows
+        # and aggregates a single int column (doc ids fit 31 bits)
+        packed = np.concatenate(out_a) * np.int64(1 << 32) + np.concatenate(out_b)
+        uniq, cnt = np.unique(packed, return_counts=True)
+        return pa.table({"pk": pa.array(uniq, pa.int64()),
+                         "n": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    common = (rows.map_batches(coarse, batch_format="pyarrow")
+              .groupby("__g")
+              .map_groups(functools.partial(group_pairs, cap=max_shingle_df),
+                          batch_format="pandas")
+              .groupby("pk").aggregate(Sum("n", alias_name="n_common")))
+
+    def jaccard_filter(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keys, szs = ray.get(size_ref)
+        pk = t["pk"].to_numpy()
+        a = (pk >> np.int64(32)).astype(np.int64)
+        b = (pk & np.int64((1 << 32) - 1)).astype(np.int64)
+        sa = pc.take(szs, pc.index_in(pa.array(a), value_set=keys)).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        sb = pc.take(szs, pc.index_in(pa.array(b), value_set=keys)).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        c = t["n_common"].to_numpy().astype(np.float64)
+        j = np.round(c / (sa + sb - c), 4)
+        keep = j >= threshold
+        return pa.table({"a": pa.array(a[keep], pa.int64()),
+                         "b": pa.array(b[keep], pa.int64()),
+                         "jaccard": pa.array(j[keep], pa.float64())})
+
+    out = common.map_batches(jaccard_filter, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["a", "b"]).reset_index(drop=True)

@@ -286,3 +286,31 @@ def test_verify_jaccard_missing_doc_paths_agree(ray_session):
     pd.testing.assert_frame_equal(broadcast.reset_index(drop=True),
                                   cogroup.reset_index(drop=True))
     assert list(zip(broadcast["a"], broadcast["b"])) == [(100, 101)]
+
+
+def test_ngram_jaccard_exact_matches_bruteforce(ray_session):
+    """The sparse similarity join must equal the obvious all-pairs loop."""
+    import itertools
+
+    import ray.data as rd
+
+    from logcrawler_ray.stages.dedup_text import ngram_jaccard_pairs
+
+    rng = np.random.default_rng(9)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = [" ".join(rng.choice(vocab, 30)) for _ in range(25)]
+    docs.append(docs[3] + " tail words here")   # planted near-dup
+    df = pd.DataFrame({"doc_id": np.arange(len(docs), dtype=np.int64),
+                       "text": docs})
+    got = ngram_jaccard_pairs(rd.from_pandas(df), threshold=0.15)
+
+    expect = []
+    sets = {i: set(T.shingle_hashes(t, 3).tolist()) for i, t in enumerate(docs)}
+    for a, b in itertools.combinations(range(len(docs)), 2):
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        j = round(inter / union, 4) if union else 1.0
+        if j >= 0.15:
+            expect.append((a, b, j))
+    assert [(int(r.a), int(r.b), r.jaccard) for r in got.itertuples()] == expect
+    assert any(a == 3 for a, _, _ in expect)  # planted pair present
