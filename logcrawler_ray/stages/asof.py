@@ -62,14 +62,28 @@ def asof_join(left_ds, right_ds, *, on: str, by: str, direction: str = "backward
             return "float64", np.nan  # int null-fills as float, like merge_asof
         return object, None
 
-    tag_l = left_ds.map_batches(
-        lambda t: t.append_column("__side", pa.array(np.zeros(t.num_rows, dtype=np.int8))),
-        batch_format="pyarrow",
-    )
-    tag_r = right_ds.map_batches(
-        lambda t: t.append_column("__side", pa.array(np.ones(t.num_rows, dtype=np.int8))),
-        batch_format="pyarrow",
-    )
+    # integer `by` keys group by a 64-bucket COARSE key (per-key map_groups
+    # costs ~1-2 ms per group) and pandas merge_asof(by=...) handles the
+    # per-key semantics vectorized inside each bucket; other key types keep
+    # per-key grouping (same merge call — `by` is constant in the group)
+    by_is_int = pd.api.types.is_integer_dtype(l_dtypes[by])
+    group_key = "__g" if by_is_int else by
+
+    def _tag(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            t = t.append_column(
+                "__side", pa.array(np.full(t.num_rows, side, dtype=np.int8)))
+            if by_is_int:
+                t = t.append_column("__g", pc.cast(
+                    pc.bit_wise_and(t[by], 63), pa.int32()))
+            return t
+
+        return fn
+
+    tag_l = left_ds.map_batches(_tag(0), batch_format="pyarrow")
+    tag_r = right_ds.map_batches(_tag(1), batch_format="pyarrow")
     both = tag_l.union(tag_r)
 
     # canonical output column order, identical across all branches (the
@@ -111,7 +125,8 @@ def asof_join(left_ds, right_ds, *, on: str, by: str, direction: str = "backward
         for c, dt in l_dtypes.items():
             if left[c].dtype != dt:
                 left[c] = left[c].astype(dt)
-        right = df.loc[df["__side"] == 1, [on] + r_cols].sort_values(on, kind="mergesort")
+        right = df.loc[df["__side"] == 1,
+                       [by, on] + r_cols].sort_values(on, kind="mergesort")
         if right.empty:
             out = left.copy()
             out[f"{on}{suffix}"] = pd.Series(
@@ -122,7 +137,7 @@ def asof_join(left_ds, right_ds, *, on: str, by: str, direction: str = "backward
                 out[c + suffix if c in l_names else c] = pd.Series(
                     [fill] * len(out), dtype=dt, index=out.index)
             return finish(out)
-        for c in [on] + r_cols:  # undo union null-fill upcasts on the right
+        for c in [by, on] + r_cols:  # undo union null-fill upcasts on the right
             if right[c].dtype != r_dtypes[c] and not right[c].isna().any():
                 right[c] = right[c].astype(r_dtypes[c])
         rkeep = right.copy()
@@ -130,9 +145,10 @@ def asof_join(left_ds, right_ds, *, on: str, by: str, direction: str = "backward
         # the shared `on` key, so alias it before the merge)
         rkeep[f"{on}{suffix}"] = rkeep[on]
         return finish(pd.merge_asof(
-            left, rkeep, on=on, direction=direction, suffixes=("", suffix)))
+            left, rkeep, on=on, by=by, direction=direction,
+            suffixes=("", suffix)))
 
-    return both.groupby(by).map_groups(per_group, batch_format="pandas")
+    return both.groupby(group_key).map_groups(per_group, batch_format="pandas")
 
 
 def closest_join_arrays(l_time: np.ndarray, l_id: np.ndarray,
