@@ -111,7 +111,8 @@ class IngestStage:
 def ingest_sharded(source_files: list[str], store: ImageStore, *,
                    pid: str = "ingest", files_per_shard: int = 8,
                    concurrency: int | tuple[int, int] | None = None,
-                   batch_size: int = 64, n_buckets: int = DEFAULT_BUCKETS) -> str:
+                   batch_size: int = 64, n_buckets: int = DEFAULT_BUCKETS,
+                   losers_max_broadcast: int | None = None) -> str:
     """Resumable-at-shard-granularity ingest over a list of input files.
 
     One store partition per group of ``files_per_shard`` input files; a
@@ -154,7 +155,11 @@ def ingest_sharded(source_files: list[str], store: ImageStore, *,
 
     if store.is_done(pid):
         return pid
-    from ..stages.dedup import exact_losers_by
+    from ..stages.dedup import (DEFAULT_MAX_BROADCAST, dup_winners,
+                                exact_losers_by, exact_losers_files)
+
+    if losers_max_broadcast is None:
+        losers_max_broadcast = DEFAULT_MAX_BROADCAST
 
     # skinny re-read carries the shard id, so the loser pass returns each
     # loser ALREADY ROUTED to its shard — the driver never reads a shard's
@@ -170,14 +175,39 @@ def ingest_sharded(source_files: list[str], store: ImageStore, *,
         part = store.read_dataset(spid, columns=["phash", "image_id"]).map_batches(
             tag_shard(spid), batch_format="pyarrow")
         skinny = part if skinny is None else skinny.union(part)
-    losers_by_shard = exact_losers_by(skinny, "phash", "image_id", "__shard")
 
-    # one delete view per shard + a pid manifest listing them
+    # duplicated keys only, filtered DISTRIBUTED (O(dup keys) in the object
+    # store, never the full distinct-key aggregate on the driver); small dup
+    # sets take the broadcast route, huge ones the file-routed join path
+    dups = dup_winners(skinny, "phash", "image_id")
     total = 0
-    for spid in shard_ids:
-        total += store.commit_delete_view(
-            f"{pid}-view-{spid}", spid, losers_by_shard.get(spid, []),
-            key_col="image_id")
+    if dups.count() <= losers_max_broadcast:
+        losers_by_shard = exact_losers_by(skinny, "phash", "image_id",
+                                          "__shard", dups=dups)
+        # one delete view per shard + a pid manifest listing them
+        for spid in shard_ids:
+            total += store.commit_delete_view(
+                f"{pid}-view-{spid}", spid, losers_by_shard.get(spid, []),
+                key_col="image_id")
+    else:
+        # bucketed 10^10 path: losers written per shard by a distributed
+        # groupby — no key or loser ever transits the driver
+        import tempfile
+
+        loser_dir = tempfile.mkdtemp(prefix="losers-", dir=store.root)
+        routed = exact_losers_files(skinny, "phash", "image_id", "__shard",
+                                    loser_dir, dups=dups)
+        for spid in shard_ids:
+            if spid in routed:
+                path, _n = routed[spid]
+                total += store.commit_delete_view_file(
+                    f"{pid}-view-{spid}", spid, path, key_col="image_id")
+            else:
+                total += store.commit_delete_view(
+                    f"{pid}-view-{spid}", spid, [], key_col="image_id")
+        import shutil
+
+        shutil.rmtree(loser_dir, ignore_errors=True)
     store.append_table(pid, pa.table({"shards": [f"{pid}-view-{s}" for s in shard_ids]}),
                        meta={"pipeline": "ingest", "rows_total": total})
     return pid

@@ -168,7 +168,25 @@ class ImageStore:
         pq.write_table(pa.table({key_col: keys}),
                        os.path.join(tmp_dir, "deletes.parquet"),
                        compression=self.compression)
-        rows = self.rows(base_pid) - len(keys)
+        return self._commit_view(pid, base_pid, tmp_dir, key_col,
+                                 len(keys), meta)
+
+    def commit_delete_view_file(self, pid: str, base_pid: str,
+                                delete_file: str, key_col: str,
+                                meta: dict | None = None) -> int:
+        """Commit a delete-vector view whose key file was written by a
+        DISTRIBUTED loser pass (stages/dedup.py::exact_losers_files) — the
+        keys never transit the driver; the count comes from the parquet
+        footer. The file must already hold sorted, unique keys."""
+        n = pq.read_metadata(delete_file).num_rows
+        tmp_dir = self._part_dir(pid) + f".tmp.{uuid.uuid4().hex}"
+        os.makedirs(tmp_dir)
+        shutil.move(delete_file, os.path.join(tmp_dir, "deletes.parquet"))
+        return self._commit_view(pid, base_pid, tmp_dir, key_col, n, meta)
+
+    def _commit_view(self, pid: str, base_pid: str, tmp_dir: str,
+                     key_col: str, n_deleted: int, meta: dict | None) -> int:
+        rows = self.rows(base_pid) - n_deleted
         final_dir = self._part_dir(pid)
         if os.path.exists(final_dir):
             shutil.rmtree(final_dir)
@@ -188,10 +206,29 @@ class ImageStore:
     def _view_of(self, pid: str) -> dict | None:
         return self.manifest(pid).get("view")
 
-    def _delete_keys(self, pid: str) -> tuple[str, frozenset]:
+    def _delete_keys(self, pid: str) -> tuple[str, pa.Array]:
+        """Delete keys of a view as an Arrow array (NEVER a Python set —
+        readers probe it with vectorized ``pc.is_in``)."""
+        import pyarrow.compute as pc
+
         v = self._view_of(pid)
         tab = pq.read_table(os.path.join(self._part_dir(pid), v["delete_file"]))
-        return v["key_col"], frozenset(tab[v["key_col"]].to_pylist())
+        return v["key_col"], pc.unique(tab[v["key_col"]].combine_chunks())
+
+    @staticmethod
+    def _anti_view(t: pa.Table, key_col: str, drop: pa.Array,
+                   columns: list[str] | None) -> pa.Table:
+        """Vectorized delete-vector probe shared by both readers: one
+        ``pc.is_in`` + invert per batch, no per-row Python."""
+        import pyarrow.compute as pc
+
+        if len(drop) == 0 or pa.types.is_null(drop.type):
+            out = t  # empty delete vector (written untyped)
+        else:
+            out = t.filter(pc.invert(pc.is_in(t[key_col], value_set=drop)))
+        if columns is not None and key_col not in columns:
+            out = out.select(columns)
+        return out
 
     # -- readers -----------------------------------------------------------
     def files(self, pid: str | None = None) -> list[str]:
@@ -219,25 +256,21 @@ class ImageStore:
             ds = self.read_dataset(base, columns=cols)
             import ray
 
+            # losers broadcast ONCE as an Arrow array; every task probes it
+            # with a vectorized is_in (never a per-row Python loop)
             ref = ray.put(dropped)
+            anti = ImageStore._anti_view
 
-            def anti(t: pa.Table) -> pa.Table:
-                drop = ray.get(ref)
-                mask = [k not in drop for k in t[key_col].to_pylist()]
-                out = t.filter(pa.array(mask))
-                if columns is not None and key_col not in columns:
-                    out = out.select(columns)
-                return out
+            def anti_fn(t: pa.Table) -> pa.Table:
+                return anti(t, key_col, ray.get(ref), columns)
 
-            return ds.map_batches(anti, batch_format="pyarrow")
+            return ds.map_batches(anti_fn, batch_format="pyarrow")
         files = self.files(pid)
         if not files:
             return rd.from_arrow(pa.table({}))
         return rd.read_parquet(files, columns=columns)
 
     def read_table(self, pid: str | None = None, columns: list[str] | None = None) -> pa.Table:
-        import pyarrow.compute as pc
-
         if pid is not None and self._view_of(pid):
             key_col, dropped = self._delete_keys(pid)
             base = self._view_of(pid)["base"]
@@ -245,11 +278,7 @@ class ImageStore:
             if cols is not None and key_col not in cols:
                 cols = [*cols, key_col]
             tab = self.read_table(base, columns=cols)
-            mask = pa.array([k not in dropped for k in tab[key_col].to_pylist()])
-            tab = tab.filter(mask)
-            if columns is not None and key_col not in columns:
-                tab = tab.select(columns)
-            return tab
+            return ImageStore._anti_view(tab, key_col, dropped, columns)
         files = self.files(pid)
         if not files:
             return pa.table({})

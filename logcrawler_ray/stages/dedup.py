@@ -30,6 +30,22 @@ import pyarrow.compute as pc
 
 DEFAULT_MAX_BROADCAST = 5_000_000
 
+# test/telemetry hook: number of aggregate rows the driver actually collected
+# in the last losers pass (must be O(duplicate keys), never O(distinct keys))
+_last_driver_rows: int = 0
+
+
+def _dup_keys_only(agg_ds, count_col: str = "__n"):
+    """Distributed ``__n > 1`` filter over a groupby aggregate Dataset —
+    applied BEFORE any driver collect, so the driver sees one row per
+    DUPLICATED key, not one row per distinct key (at 10^10 mostly-unique
+    rows the difference is ~10^10 collected rows vs the duplicate count)."""
+
+    def only_dups(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t[count_col], 1))
+
+    return agg_ds.map_batches(only_dups, batch_format="pyarrow")
+
 
 def exact_losers(skinny_ds, key: str, order_col: str) -> frozenset:
     """Skinny (key, order) dataset -> set of order_col values to DROP.
@@ -63,11 +79,14 @@ def exact_losers(skinny_ds, key: str, order_col: str) -> frozenset:
     partial_rows = (skinny_ds.map_batches(partial, batch_format="pyarrow")
                     .limit(DEFAULT_MAX_BROADCAST + 1).take_all())
     if len(partial_rows) > DEFAULT_MAX_BROADCAST:
-        # scale path: distributed aggregate, then one broadcast-probe scan
-        agg = (skinny_ds.groupby(key)
-               .aggregate(Min(order_col, alias_name="__min"), Count(alias_name="__n"))
-               .to_pandas())
-        dups = agg[agg["__n"] > 1]
+        # scale path: distributed aggregate, DUPLICATES-ONLY filtered
+        # distributed, then one broadcast-probe scan — the driver collects
+        # O(duplicate keys), never the full distinct-key aggregate
+        agg_ds = skinny_ds.groupby(key).aggregate(
+            Min(order_col, alias_name="__min"), Count(alias_name="__n"))
+        dups = _dup_keys_only(agg_ds).to_pandas()
+        global _last_driver_rows
+        _last_driver_rows = len(dups)
         if dups.empty:
             return frozenset()
         ref = ray.put((pa.array(dups[key].to_numpy()),
@@ -103,19 +122,34 @@ def exact_losers(skinny_ds, key: str, order_col: str) -> frozenset:
     return frozenset(local_losers) | frozenset(extra)
 
 
+def dup_winners(skinny_ds, key: str, order_col: str):
+    """MATERIALIZED Dataset of ``(key, __min, __n)`` for duplicated keys
+    only. The ``__n > 1`` filter runs distributed before anything reaches
+    the driver; the materialized result is O(duplicate keys) in the object
+    store (bounded, reusable by both the broadcast and the join path)."""
+    from ray.data.aggregate import Count, Min
+
+    agg_ds = skinny_ds.groupby(key).aggregate(
+        Min(order_col, alias_name="__min"), Count(alias_name="__n"))
+    return _dup_keys_only(agg_ds).materialize()
+
+
 def exact_losers_by(skinny_ds, key: str, order_col: str,
-                    part_col: str) -> dict:
+                    part_col: str, dups=None) -> dict:
     """Like :func:`exact_losers`, but the skinny rows carry a partition
     column and the result is ``{part: [losers...]}`` — so a sharded caller
     never reads each shard's full key column to the driver (the round-1
-    ingest residual); only the duplicate rows come back, already routed."""
-    import ray
-    from ray.data.aggregate import Count, Min
+    ingest residual); only the duplicate rows come back, already routed.
 
-    agg = (skinny_ds.groupby(key)
-           .aggregate(Min(order_col, alias_name="__min"), Count(alias_name="__n"))
-           .to_pandas())
-    dups = agg[agg["__n"] > 1]
+    Driver memory is O(duplicate keys + losers); past
+    ``DEFAULT_MAX_BROADCAST`` duplicates use :func:`exact_losers_files`
+    (the fully-distributed 10^10 path) instead."""
+    import ray
+
+    dups_ds = dup_winners(skinny_ds, key, order_col) if dups is None else dups
+    dups = dups_ds.to_pandas()
+    global _last_driver_rows
+    _last_driver_rows = len(dups)
     if dups.empty:
         return {}
     ref = ray.put((pa.array(dups[key].to_numpy()),
@@ -134,6 +168,98 @@ def exact_losers_by(skinny_ds, key: str, order_col: str,
     for r in skinny_ds.map_batches(find_losers, batch_format="pyarrow").take_all():
         out.setdefault(r[part_col], []).append(r[order_col])
     return {p: sorted(v) for p, v in out.items()}
+
+
+def _bucket_of(col, n: int) -> pa.Array:
+    """Stable coarse bucket id (int32) of a key column, any hashable type."""
+    from ..functions.hashing import hash64_str_array, splitmix64
+
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if pa.types.is_integer(col.type):
+        u = splitmix64(col.to_numpy(zero_copy_only=False).astype(np.uint64))
+    else:
+        u = hash64_str_array(col.to_pylist())
+    return pa.array((u % np.uint64(n)).astype(np.int32))
+
+
+def exact_losers_files(skinny_ds, key: str, order_col: str, part_col: str,
+                       out_dir: str, dups=None,
+                       num_buckets: int = 64) -> dict:
+    """The bucketed 10^10 loser path (SCALE.md §4): losers are computed and
+    ROUTED fully distributed — the driver never holds a key, a winner, or a
+    loser, only per-partition counts and file paths.
+
+    1. ``dup_winners`` — distributed groupby, duplicates-only (O(dup keys)
+       materialized in the object store);
+    2. skinny rows and winner rows are tagged with a COARSE key-hash bucket
+       (CLAUDE.md groupby lesson: 16-64 buckets, vectorized inside the
+       group fn — NOT per-key groups, NOT ``Dataset.join`` whose empty
+       hash partitions lose the schema) and co-grouped by bucket;
+    3. within a bucket, one vectorized ``index_in`` probe marks every
+       skinny row whose ``order_col`` differs from its key's winner;
+    4. ``groupby(part_col).map_groups`` writes one sorted+unique
+       ``losers-<part>.parquet`` per partition into ``out_dir`` — ready for
+       :meth:`ImageStore.commit_delete_view_file`.
+
+    Both shuffles move only skinny (key, order, part) rows. Reference
+    analog: the count-ledger anti-join (07_input_cognition_data_rust.py:
+    64-83) likewise never materializes row sets on the coordinator.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    dups_ds = dup_winners(skinny_ds, key, order_col) if dups is None else dups
+    global _last_driver_rows
+    _last_driver_rows = 0
+    if dups_ds.count() == 0:
+        return {}
+
+    # union-compatible tagging: skinny rows carry (key, order, part, null
+    # winner); winner rows carry (key, null order, null part, winner)
+    def tag_skinny(t: pa.Table) -> pa.Table:
+        return pa.table({
+            key: t[key], order_col: t[order_col], part_col: t[part_col],
+            "__min": pa.nulls(t.num_rows, t[order_col].type),
+            "__b": _bucket_of(t[key], num_buckets)})
+
+    def tag_winner(t: pa.Table) -> pa.Table:
+        return pa.table({
+            key: t[key],
+            order_col: pa.nulls(t.num_rows, t["__min"].type),
+            part_col: pa.nulls(t.num_rows, pa.string()),
+            "__min": t["__min"],
+            "__b": _bucket_of(t[key], num_buckets)})
+
+    both = (skinny_ds.map_batches(tag_skinny, batch_format="pyarrow")
+            .union(dups_ds.map_batches(tag_winner, batch_format="pyarrow")))
+
+    def bucket_losers(g: pa.Table) -> pa.Table:
+        is_w = pc.is_valid(g["__min"])
+        w = g.filter(is_w)
+        s = g.filter(pc.invert(is_w))
+        idx = pc.index_in(s[key], value_set=w[key].combine_chunks())
+        winner = pc.take(w["__min"].combine_chunks(), idx)
+        lose = pc.fill_null(pc.and_(pc.is_valid(winner),
+                                    pc.not_equal(s[order_col], winner)), False)
+        sel = s.filter(lose)
+        return pa.table({order_col: sel[order_col], part_col: sel[part_col]})
+
+    losers = both.groupby("__b").map_groups(bucket_losers,
+                                            batch_format="pyarrow")
+
+    def write_part(g: pa.Table) -> pa.Table:
+        part = g[part_col][0].as_py()
+        arr = pc.unique(g[order_col].combine_chunks())
+        arr = arr.take(pc.sort_indices(arr))
+        path = os.path.join(out_dir, f"losers-{part}.parquet")
+        pq.write_table(pa.table({order_col: arr}), path)
+        return pa.table({part_col: [part], "path": [path],
+                         "n": pa.array([len(arr)], pa.int64())})
+
+    rows = (losers.groupby(part_col)
+            .map_groups(write_part, batch_format="pyarrow").take_all())
+    return {r[part_col]: (r["path"], r["n"]) for r in rows}
 
 
 def anti_filter_fn(loser_ref, order_col: str):

@@ -110,6 +110,95 @@ def test_dedup_within_batch():
     assert out["image_id"].to_pylist() == ["b", "c", "a"]
 
 
+def test_loser_pass_driver_collects_only_duplicates(ray_session):
+    """Unique-heavy corpus: the driver-side collect in the loser pass must
+    be O(duplicate keys), never O(distinct keys) — the round-2 verdict's
+    top scale finding (stages/dedup.py `_dup_keys_only`)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from logcrawler_ray.stages import dedup
+
+    n, n_dup = 5000, 7  # 4993 unique keys, 7 duplicated ones
+    keys = list(range(n))
+    ids = [f"id-{i:05d}" for i in range(n)]
+    # duplicate the first 7 keys once each
+    keys += list(range(n_dup))
+    ids += [f"zz-{i:05d}" for i in range(n_dup)]
+    skinny = rd.from_arrow(pa.table(
+        {"phash": keys, "image_id": ids,
+         "__shard": ["s0" if i % 2 == 0 else "s1" for i in range(len(keys))]}
+    )).map_batches(lambda t: t, batch_size=500, batch_format="pyarrow")
+
+    routed = dedup.exact_losers_by(skinny, "phash", "image_id", "__shard")
+    losers = sorted(x for v in routed.values() for x in v)
+    assert losers == [f"zz-{i:05d}" for i in range(n_dup)]
+    assert dedup._last_driver_rows == n_dup  # NOT 5000
+
+
+def test_exact_losers_files_matches_broadcast(ray_session, tmp_path):
+    """The bucketed 10^10 loser path (distributed join + per-part file
+    routing) produces byte-identical loser sets to the broadcast path."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from logcrawler_ray.stages import dedup
+
+    rng = np.random.default_rng(7)
+    keys = rng.integers(0, 400, size=1000).tolist()  # heavy duplication
+    ids = [f"i-{i:04d}" for i in range(1000)]
+    parts = [f"p{i % 3}" for i in range(1000)]
+    tab = pa.table({"phash": keys, "image_id": ids, "__shard": parts})
+    skinny = rd.from_arrow(tab).map_batches(
+        lambda t: t, batch_size=100, batch_format="pyarrow")
+
+    want = dedup.exact_losers_by(skinny, "phash", "image_id", "__shard")
+
+    out_dir = str(tmp_path / "losers")
+    import os
+
+    os.makedirs(out_dir)
+    routed = dedup.exact_losers_files(skinny, "phash", "image_id", "__shard",
+                                      out_dir, num_buckets=4)
+    assert dedup._last_driver_rows == 0  # nothing collected on the driver
+    got = {}
+    for part, (path, n) in routed.items():
+        vals = pq.read_table(path)["image_id"].to_pylist()
+        assert vals == sorted(set(vals)) and len(vals) == n
+        got[part] = vals
+    assert got == {p: v for p, v in want.items() if v}
+
+
+def test_ingest_sharded_file_routed_losers(ray_session, corpus_tab, tmp_path):
+    """ingest_sharded with losers_max_broadcast=0 forces the bucketed
+    delete-view-file path; result must equal the broadcast path's."""
+    import pyarrow.parquet as pq
+
+    from logcrawler_ray.pipelines.ingest import ingest_sharded, read_sharded
+
+    files = []
+    for i in range(4):
+        p = str(tmp_path / f"in-{i}.parquet")
+        pq.write_table(corpus_tab.slice(i * 24, 24), p)
+        files.append(p)
+
+    sa = ImageStore(str(tmp_path / "store-a"))
+    sb = ImageStore(str(tmp_path / "store-b"))
+    pa_ = ingest_sharded(files, sa, pid="sh", files_per_shard=2, concurrency=None)
+    pb = ingest_sharded(files, sb, pid="sh", files_per_shard=2, concurrency=None,
+                        losers_max_broadcast=0)
+    a = read_sharded(sa, pa_).to_pandas().sort_values("image_id")
+    b = read_sharded(sb, pb).to_pandas().sort_values("image_id")
+    assert list(a["image_id"]) == list(b["image_id"])
+    uniq = len(set(corpus_tab["phash"].to_pylist()))
+    assert len(b) == uniq
+    # no loser scratch dirs left behind
+    import os
+
+    assert not [d for d in os.listdir(sb.root) if d.startswith("losers-")]
+
+
 def test_ingest_sharded_resume(ray_session, corpus_tab, tmp_path):
     """Shard-granular resumable ingest: commit per input-file-group
     partitions, global dedup as per-shard delete views, rerun skips all."""
