@@ -115,7 +115,27 @@ def iter_fields(buf: bytes):
         yield field_no, wire, val
 
 
+# declared kind -> the only wire type a conforming encoder may use for it
+# (packed repeated scalars arrive as LEN and are re-dispatched per element)
+_KIND_WIRE = {
+    "uint32": _WIRE_VARINT, "uint64": _WIRE_VARINT, "int32": _WIRE_VARINT,
+    "int64": _WIRE_VARINT, "sint32": _WIRE_VARINT, "sint64": _WIRE_VARINT,
+    "bool": _WIRE_VARINT, "string": _WIRE_LEN, "bytes": _WIRE_LEN,
+    "float": _WIRE_I32, "fixed32": _WIRE_I32, "sfixed32": _WIRE_I32,
+    "double": _WIRE_I64, "fixed64": _WIRE_I64, "sfixed64": _WIRE_I64,
+}
+
+
 def _decode_scalar(kind: str, wire: int, raw):
+    # wire-type-vs-schema validation: a varint where a string is declared
+    # (or any other mismatch) must surface as WireError so the parse sites'
+    # "skip corrupt payload" handlers catch it — never TypeError/
+    # AttributeError crashing the whole task
+    exp = _KIND_WIRE.get(kind)
+    if exp is None:
+        raise WireError(f"unknown scalar kind {kind}")
+    if wire != exp:
+        raise WireError(f"wire type {wire} for {kind} field (expected {exp})")
     if kind == "uint32" or kind == "uint64":
         return int(raw)
     if kind in ("int32", "int64"):
@@ -126,7 +146,10 @@ def _decode_scalar(kind: str, wire: int, raw):
     if kind == "bool":
         return bool(raw)
     if kind == "string":
-        return raw.decode("utf-8")
+        try:
+            return raw.decode("utf-8")
+        except UnicodeDecodeError as e:
+            raise WireError(f"invalid utf-8 in string field: {e}") from None
     if kind == "bytes":
         return bytes(raw)
     if kind == "float":
@@ -156,6 +179,9 @@ def decode_message(buf: bytes, schema: dict) -> dict:
         if isinstance(kind, tuple) and kind[0] == "repeated":
             inner = kind[1]
             if isinstance(inner, tuple) and inner[0] == "message":
+                if wire != _WIRE_LEN:
+                    raise WireError(
+                        f"wire type {wire} for repeated message field")
                 out.setdefault(name, []).append(decode_message(raw, inner[1]))
             elif wire == _WIRE_LEN and inner not in ("string", "bytes"):
                 # packed repeated scalars: fixed-width kinds step 4/8 bytes,
@@ -181,6 +207,8 @@ def decode_message(buf: bytes, schema: dict) -> dict:
             else:
                 out.setdefault(name, []).append(_decode_scalar(inner, wire, raw))
         elif isinstance(kind, tuple) and kind[0] == "message":
+            if wire != _WIRE_LEN:
+                raise WireError(f"wire type {wire} for message field")
             out[name] = decode_message(raw, kind[1])
         else:
             out[name] = _decode_scalar(kind, wire, raw)

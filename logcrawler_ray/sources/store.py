@@ -53,9 +53,16 @@ class ImageStore:
     already-compressed image bytes (png/qjpeg/zlib), so parquet-level
     snappy costs ~4x write CPU for zero size win."""
 
-    def __init__(self, root: str, compression: str = "none"):
+    def __init__(self, root: str, compression: str = "none",
+                 shared_fs: bool = False):
+        """``shared_fs=True`` declares that ``root`` is visible to every
+        node of the cluster (NFS/FUSE mount). The fused-sink pattern
+        (tasks write partition files directly, the driver commits by
+        footer count) REQUIRES either a single node or a shared root —
+        see :meth:`external_tmp`."""
         self.root = root
         self.compression = compression
+        self.shared_fs = shared_fs
         os.makedirs(self._manifest_dir, exist_ok=True)
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
 
@@ -118,10 +125,32 @@ class ImageStore:
         """Pre-create a tmp dir for tasks that write partition files
         DIRECTLY (the fused-stage sink pattern: payload bytes go from the
         producing task straight to parquet, never through a second Ray Data
-        execution). Commit with :meth:`commit_external`."""
+        execution). Commit with :meth:`commit_external`.
+
+        On a MULTI-NODE cluster this is only correct when ``root`` is a
+        shared filesystem — otherwise rows written by remote workers would
+        be silently lost while the footer-count commit still succeeds
+        (round-2 advice). Fails loudly unless ``shared_fs=True``."""
+        self._assert_sink_visible()
         d = self._part_dir(pid) + f".tmp.{uuid.uuid4().hex}"
         os.makedirs(d)
         return d
+
+    def _assert_sink_visible(self) -> None:
+        if self.shared_fs:
+            return
+        try:
+            import ray
+        except ImportError:  # pragma: no cover
+            return
+        if ray.is_initialized():
+            alive = [n for n in ray.nodes() if n.get("Alive")]
+            if len(alive) > 1:
+                raise RuntimeError(
+                    "fused-sink partitions require a shared store root on a "
+                    f"multi-node cluster ({len(alive)} alive nodes); "
+                    "construct ImageStore(root, shared_fs=True) only if "
+                    "every node mounts the same path")
 
     def commit_external(self, pid: str, tmp_dir: str, meta: dict | None = None) -> int:
         """Atomically commit files tasks wrote into ``tmp_dir``; row count

@@ -36,23 +36,29 @@ def _guard(n: int, what: str, max_rows: int) -> None:
 
 def broadcast_key_set(ds, col: str, *, max_rows: int = DEFAULT_MAX_BROADCAST_ROWS):
     """Distinct keys of ``ds[col]`` as an ObjectRef[pa.Array] for semi/anti
-    probes. The distinct is computed distributed (Ray groupby under
-    ``unique``); only the deduplicated key column lands on the driver."""
+    probes. The distinct runs distributed (Ray groupby); the driver-side
+    collect is LIMIT-bounded to ``max_rows + 1`` BEFORE materializing, so
+    an oversized side raises without the driver ever holding it (round-2
+    advice: the guard must fire before the OOM it prevents)."""
     import ray
 
-    keys = ds.unique(col)
-    _guard(len(keys), f"key set {col}", max_rows)
-    return ray.put(pa.array(keys))
+    uniq = ds.select_columns([col]).groupby(col).count()
+    df = uniq.limit(max_rows + 1).to_pandas()
+    _guard(len(df), f"key set {col}", max_rows)
+    return ray.put(pa.Array.from_pandas(df[col]))
 
 
 def broadcast_map(ds, key_col: str, val_col: str, *,
                   max_rows: int = DEFAULT_MAX_BROADCAST_ROWS):
-    """``key -> value`` lookup side as ObjectRef[(pa.Array, pa.Array)]."""
+    """``key -> value`` lookup side as ObjectRef[(pa.Array, pa.Array)].
+    The collect is LIMIT-bounded to ``max_rows + 1`` rows — the cap check
+    happens before an unbounded side could land on the driver."""
     import ray
 
-    tbl = pa.Table.from_pandas(
-        ds.select_columns([key_col, val_col]).to_pandas(), preserve_index=False)
-    _guard(tbl.num_rows, f"map {key_col}->{val_col}", max_rows)
+    df = (ds.select_columns([key_col, val_col])
+          .limit(max_rows + 1).to_pandas())
+    _guard(len(df), f"map {key_col}->{val_col}", max_rows)
+    tbl = pa.Table.from_pandas(df, preserve_index=False)
     return ray.put((tbl[key_col].combine_chunks(), tbl[val_col].combine_chunks()))
 
 

@@ -217,14 +217,24 @@ def verify_jaccard_pairs(ds, pairs_ds, text_col: str = "text",
     shingle_ds = ds.map_batches(collect, batch_format="pyarrow")
 
     if len(needed) <= max_broadcast_docs:
-        sets_ref = ray.put({r[id_col]: set(r["shingles"])
-                            for r in shingle_ds.take_all()})
+        # Arrow-native broadcast (round-2 advice): the shingle sets ship as
+        # ONE (ids, list<uint64>) Arrow pair — compact buffers, no driver
+        # dict-of-Python-sets; per-pair set ops touch only each batch's rows
+        import pyarrow.compute as pc
+
+        tbl = pa.concat_tables(ray.get(shingle_ds.to_arrow_refs()))
+        sets_ref = ray.put((tbl[id_col].combine_chunks(),
+                            tbl["shingles"].combine_chunks()))
 
         def check(t: pa.Table) -> pa.Table:
-            sets = ray.get(sets_ref)
+            ids, lists = ray.get(sets_ref)
+            ia = pc.fill_null(pc.index_in(t["a"], value_set=ids), -1).to_pylist()
+            ib = pc.fill_null(pc.index_in(t["b"], value_set=ids), -1).to_pylist()
             oa, ob, oj = [], [], []
-            for a, b in zip(t["a"].to_pylist(), t["b"].to_pylist()):
-                sa, sb = sets.get(a, set()), sets.get(b, set())
+            for a, b, i, j2 in zip(t["a"].to_pylist(), t["b"].to_pylist(),
+                                   ia, ib):
+                sa = set(lists[i].as_py()) if i >= 0 else set()
+                sb = set(lists[j2].as_py()) if j2 >= 0 else set()
                 union = len(sa | sb)
                 j = (len(sa & sb) / union) if union else 1.0
                 if j >= threshold:
@@ -406,43 +416,56 @@ def simhash_near_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
 
 
 # ------------------------------------------------------- n-gram Jaccard
+class ShingleDfCapExceeded(RuntimeError):
+    """A shingle's document frequency exceeded ``max_shingle_df`` — the
+    EXACT result would silently undercount intersections. Raise (default)
+    instead of degrading; pass ``on_df_cap="drop"`` for the capped
+    approximation (count surfaced in ``out.attrs['dropped_shingles']``)."""
+
+
 def ngram_jaccard_pairs(ds, threshold: float = 0.2, ngram: int = 3,
                         text_col: str = "text", id_col: str = "doc_id",
-                        max_shingle_df: int = DEFAULT_MAX_BUCKET) -> pd.DataFrame:
+                        max_shingle_df: int = DEFAULT_MAX_BUCKET,
+                        on_df_cap: str = "raise") -> pd.DataFrame:
     """EXACT all-pairs word-n-gram Jaccard >= threshold — the sparse
-    similarity join: docs explode to distinct (shingle, doc) rows; a pair's
-    intersection size is its shingle co-occurrence count (one skinny
-    shuffle + native count aggregate); Jaccard follows from broadcast
-    per-doc set sizes. Nothing document-sized moves or lands on the driver.
+    similarity join: docs explode to distinct (shingle, doc, set_size)
+    rows; a pair's intersection size is its shingle co-occurrence count
+    (one skinny shuffle + native aggregates); the per-doc set sizes RIDE
+    THE SAME SHUFFLE as extra int64 columns (round-2 verdict #7: no
+    O(corpus) size-map broadcast). Nothing document-sized moves or lands
+    on the driver.
 
-    Shingles appearing in more than ``max_shingle_df`` docs are dropped
-    with a warning (the O(df^2) guard); exactness holds whenever no
-    shingle exceeds the cap. Returns (a, b, jaccard) sorted.
+    Shingles appearing in more than ``max_shingle_df`` docs break
+    exactness; by default that RAISES :class:`ShingleDfCapExceeded`
+    (round-2 advice: never silently diverge from the no-cap oracle).
+    ``on_df_cap="drop"`` keeps the capped approximation and reports the
+    dropped-shingle count in ``.attrs['dropped_shingles']``.
+    Returns (a, b, jaccard) sorted.
     """
     import functools
-    import ray
-    from ray.data.aggregate import Count
 
     def explode(t: pa.Table) -> pa.Table:
         ids = t[id_col].to_numpy()
         out_i: list[np.ndarray] = []
         out_s: list[np.ndarray] = []
+        out_z: list[np.ndarray] = []
         for i, txt in zip(ids, t[text_col].to_pylist()):
             sh = shingle_hashes(txt, ngram)
             out_i.append(np.full(len(sh), i, dtype=np.int64))
             out_s.append(sh)
+            # the doc's distinct-shingle count is known HERE — carry it on
+            # every exploded row instead of re-aggregating + broadcasting
+            out_z.append(np.full(len(sh), len(sh), dtype=np.int64))
         return pa.table({
             id_col: pa.array(np.concatenate(out_i) if out_i else
                              np.array([], dtype=np.int64)),
             "sh": pa.array(to_int64(np.concatenate(out_s)) if out_s else
                            np.array([], dtype=np.int64)),
+            "sz": pa.array(np.concatenate(out_z) if out_z else
+                           np.array([], dtype=np.int64)),
         })
 
-    rows = ds.map_batches(explode, batch_format="pyarrow").materialize()
-
-    sizes = (rows.groupby(id_col).aggregate(Count(alias_name="sz")).to_pandas())
-    size_ref = ray.put((pa.array(sizes[id_col].to_numpy()),
-                        pa.array(sizes["sz"].to_numpy())))
+    rows = ds.map_batches(explode, batch_format="pyarrow")
 
     def coarse(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -455,9 +478,11 @@ def ngram_jaccard_pairs(ds, threshold: float = 0.2, ngram: int = 3,
         # pandas object per shingle (tens of thousands of tiny groups)
         shv = df["sh"].to_numpy()
         ids = df[id_col].to_numpy()
+        szs = df["sz"].to_numpy()
         order = np.lexsort((ids, shv))
         shv = shv[order]
         ids = ids[order]
+        szs = szs[order]
         bounds = np.nonzero(np.diff(shv))[0] + 1
         starts = np.concatenate([[0], bounds])
         ends = np.concatenate([bounds, [len(shv)]])
@@ -465,6 +490,8 @@ def ngram_jaccard_pairs(ds, threshold: float = 0.2, ngram: int = 3,
         dropped = 0
         out_a: list[np.ndarray] = []
         out_b: list[np.ndarray] = []
+        out_za: list[np.ndarray] = []
+        out_zb: list[np.ndarray] = []
         for s, e in zip(starts, ends):
             n = e - s
             if n < 2:
@@ -476,49 +503,77 @@ def ngram_jaccard_pairs(ds, threshold: float = 0.2, ngram: int = 3,
             if tri is None:
                 tri = triu_cache[n] = np.triu_indices(n, k=1)
             run = ids[s:e]
+            rz = szs[s:e]
             out_a.append(run[tri[0]])
             out_b.append(run[tri[1]])
+            out_za.append(rz[tri[0]])
+            out_zb.append(rz[tri[1]])
+        cols: dict = {}
+        if out_a:
+            # pack (a, b) into ONE int64 key and PARTIAL-count within the
+            # group: the (a,b) shuffle then moves deduplicated skinny rows
+            # and aggregates int columns (doc ids fit 31 bits); sizes are
+            # functionally dependent on the pair, any partial's value works
+            packed = (np.concatenate(out_a) * np.int64(1 << 32)
+                      + np.concatenate(out_b))
+            uniq, first, cnt = np.unique(packed, return_index=True,
+                                         return_counts=True)
+            cols = {"pk": uniq, "n": cnt.astype(np.int64),
+                    "sz_a": np.concatenate(out_za)[first],
+                    "sz_b": np.concatenate(out_zb)[first]}
+        else:
+            cols = {k: np.array([], dtype=np.int64)
+                    for k in ("pk", "n", "sz_a", "sz_b")}
         if dropped:
-            import logging
+            # df-cap error channel: one marker row per group, pk < 0
+            # (real pair keys are always >= 0), n = dropped shingles
+            g = int(df["__g"].iloc[0])
+            cols = {k: np.concatenate([v, [m]]) for (k, v), m in zip(
+                cols.items(), [-1 - g, dropped, 0, 0])}
+        return pa.table({k: pa.array(v, pa.int64()) for k, v in cols.items()})
 
-            logging.getLogger(__name__).warning(
-                "ngram_jaccard_pairs: %d shingles over df cap dropped", dropped)
-        if not out_a:
-            return pa.table({"pk": pa.array([], pa.int64()),
-                             "n": pa.array([], pa.int64())})
-        # pack (a, b) into ONE int64 key and PARTIAL-count within the
-        # group: the (a,b) shuffle then moves deduplicated skinny rows
-        # and aggregates a single int column (doc ids fit 31 bits)
-        packed = np.concatenate(out_a) * np.int64(1 << 32) + np.concatenate(out_b)
-        uniq, cnt = np.unique(packed, return_counts=True)
-        return pa.table({"pk": pa.array(uniq, pa.int64()),
-                         "n": pa.array(cnt.astype(np.int64), pa.int64())})
-
-    from ray.data.aggregate import Sum
+    from ray.data.aggregate import Max, Sum
 
     common = (rows.map_batches(coarse, batch_format="pyarrow")
               .groupby("__g")
               .map_groups(functools.partial(group_pairs, cap=max_shingle_df),
                           batch_format="pandas")
-              .groupby("pk").aggregate(Sum("n", alias_name="n_common")))
+              .groupby("pk").aggregate(Sum("n", alias_name="n_common"),
+                                       Max("sz_a", alias_name="sz_a"),
+                                       Max("sz_b", alias_name="sz_b")))
 
     def jaccard_filter(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        keys, szs = ray.get(size_ref)
         pk = t["pk"].to_numpy()
-        a = (pk >> np.int64(32)).astype(np.int64)
-        b = (pk & np.int64((1 << 32) - 1)).astype(np.int64)
-        sa = pc.take(szs, pc.index_in(pa.array(a), value_set=keys)).to_numpy(
-            zero_copy_only=False).astype(np.float64)
-        sb = pc.take(szs, pc.index_in(pa.array(b), value_set=keys)).to_numpy(
-            zero_copy_only=False).astype(np.float64)
-        c = t["n_common"].to_numpy().astype(np.float64)
+        mk = pk < 0
+        n_dropped = int(t["n_common"].to_numpy()[mk].sum())
+        real = ~mk
+        a = (pk[real] >> np.int64(32)).astype(np.int64)
+        b = (pk[real] & np.int64((1 << 32) - 1)).astype(np.int64)
+        sa = t["sz_a"].to_numpy()[real].astype(np.float64)
+        sb = t["sz_b"].to_numpy()[real].astype(np.float64)
+        c = t["n_common"].to_numpy()[real].astype(np.float64)
         j = np.round(c / (sa + sb - c), 4)
         keep = j >= threshold
-        return pa.table({"a": pa.array(a[keep], pa.int64()),
-                         "b": pa.array(b[keep], pa.int64()),
-                         "jaccard": pa.array(j[keep], pa.float64())})
+        out_a = a[keep]
+        out_b = b[keep]
+        out_j = j[keep]
+        if n_dropped:  # surface the drop count (a = -1 sentinel rows)
+            out_a = np.concatenate([out_a, [-1]])
+            out_b = np.concatenate([out_b, [n_dropped]])
+            out_j = np.concatenate([out_j, [float("nan")]])
+        return pa.table({"a": pa.array(out_a, pa.int64()),
+                         "b": pa.array(out_b, pa.int64()),
+                         "jaccard": pa.array(out_j, pa.float64())})
 
     out = common.map_batches(jaccard_filter, batch_format="pyarrow").to_pandas()
-    return out.sort_values(["a", "b"]).reset_index(drop=True)
+    mk = out["a"] == -1
+    n_dropped = int(out.loc[mk, "b"].sum())
+    out = out[~mk]
+    if n_dropped and on_df_cap == "raise":
+        raise ShingleDfCapExceeded(
+            f"{n_dropped} shingles exceed df cap {max_shingle_df}; result "
+            "would undercount intersections (pass on_df_cap='drop' to "
+            "accept the capped approximation)")
+    out = out.sort_values(["a", "b"]).reset_index(drop=True)
+    out.attrs["dropped_shingles"] = n_dropped
+    return out

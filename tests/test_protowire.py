@@ -72,6 +72,52 @@ def test_truncated_payload_raises():
         pw.decode_message(buf, pw.IMAGE)
 
 
+def test_wire_type_mismatch_raises_wireerror():
+    """A payload whose field carries the WRONG wire type for its declared
+    kind must raise WireError (never TypeError/AttributeError) so the
+    parse sites' skip-corrupt handlers catch it (round-2 advice)."""
+    # varint where a string is declared (IMAGE field 4 = data: bytes;
+    # build a schema with a string field at 1 and feed it a varint)
+    sch = {1: ("s", "string")}
+    buf = pw.encode_varint(1 << 3 | 0) + pw.encode_varint(42)  # varint wire
+    with pytest.raises(pw.WireError):
+        pw.decode_message(buf, sch)
+    # varint where a nested message is declared
+    sch_m = {1: ("m", ("message", {1: ("x", "uint32")}))}
+    with pytest.raises(pw.WireError):
+        pw.decode_message(buf, sch_m)
+    # varint where a repeated message is declared
+    sch_r = {1: ("r", ("repeated", ("message", {1: ("x", "uint32")})))}
+    with pytest.raises(pw.WireError):
+        pw.decode_message(buf, sch_r)
+    # LEN bytes where a double is declared
+    sch_d = {1: ("d", "double")}
+    s = pw.encode_varint(1 << 3 | 2) + pw.encode_varint(3) + b"abc"
+    with pytest.raises(pw.WireError):
+        pw.decode_message(s, sch_d)
+    # invalid utf-8 inside a declared string is WireError too
+    bad = pw.encode_varint(1 << 3 | 2) + pw.encode_varint(2) + b"\xff\xfe"
+    with pytest.raises(pw.WireError):
+        pw.decode_message(bad, sch)
+
+
+def test_parse_log_skips_wire_type_mismatch(ray_session):
+    """End-to-end: a record whose payload decodes structurally but with a
+    mismatched wire type is SKIPPED by parse_log, not a task crash."""
+    from logcrawler_ray.sources.naoth import write_records
+    from logcrawler_ray.stages.protoparse import parse_log
+
+    # FrameInfo.frame_number is uint32 (varint); send a LEN-typed field 1
+    evil = pw.encode_varint(1 << 3 | 2) + pw.encode_varint(2) + b"xx"
+    data = write_records([
+        (1, [("FrameInfo", pw.encode_message(
+            {"frame_number": 1, "frame_time": 500}, pw.FRAMEINFO))]),
+        (2, [("FrameInfo", evil)]),
+    ])
+    out = parse_log(3, data).to_pandas()
+    assert out[out["name"] == "FrameInfo"]["frame_time"].tolist() == [500]
+
+
 def test_parse_log_skips_corrupt_and_strips(ray_session):
     """End-to-end on a hand-decodable log: frame 1 FrameInfo parses, the
     corrupt payload is skipped, BallCandidates report n_patches only."""

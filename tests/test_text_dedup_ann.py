@@ -314,3 +314,29 @@ def test_ngram_jaccard_exact_matches_bruteforce(ray_session):
             expect.append((a, b, j))
     assert [(int(r.a), int(r.b), r.jaccard) for r in got.itertuples()] == expect
     assert any(a == 3 for a, _, _ in expect)  # planted pair present
+    assert got.attrs["dropped_shingles"] == 0
+
+
+def test_ngram_jaccard_df_cap_raises_or_reports(ray_session):
+    """A hot shingle over max_shingle_df must RAISE by default (exactness
+    broken) and report the dropped count in drop mode — round-2 advice:
+    never silently diverge from the no-cap oracle."""
+    import pytest
+    import ray.data as rd
+
+    from logcrawler_ray.stages.dedup_text import (ShingleDfCapExceeded,
+                                                  ngram_jaccard_pairs)
+
+    # every doc shares one hot 3-gram; df = 10 > cap 4
+    docs = [f"common hot gram unique{i} tail{i} word{i}" for i in range(10)]
+    df = pd.DataFrame({"doc_id": np.arange(10, dtype=np.int64),
+                       "text": docs})
+    with pytest.raises(ShingleDfCapExceeded):
+        ngram_jaccard_pairs(rd.from_pandas(df), threshold=0.01,
+                            max_shingle_df=4)
+    got = ngram_jaccard_pairs(rd.from_pandas(df), threshold=0.01,
+                              max_shingle_df=4, on_df_cap="drop")
+    assert got.attrs["dropped_shingles"] >= 1
+    # capped run undercounts: the hot shingle's pairs are absent
+    full = ngram_jaccard_pairs(rd.from_pandas(df), threshold=0.01)
+    assert len(got) < len(full)
