@@ -88,7 +88,10 @@ def url_priority(url: str, seed: int, mode: str = "hash") -> int:
     (02_combine_logs.py:216-219, used there for manual work sharing)."""
     if mode == "fifo":
         return 0
-    p = int(splitmix64(np.uint64(hash64_str(url)) ^ np.uint64(seed)) % np.uint64(10))
+    # int(...) BEFORE the mod: python-int % np.uint64 silently computes in
+    # float64 (precision-lossy above 2^53) — exact integer math here keeps
+    # the scalar path byte-identical to _route_links' vectorized uint64 mod
+    p = int(splitmix64(np.uint64(hash64_str(url)) ^ np.uint64(seed))) % 10
     return 9 - p if mode == "reverse" else p
 
 
@@ -160,6 +163,14 @@ class CrawlState:
         counts = self._call("enqueue_columns", parts)
         return sum(counts)
 
+    def enqueue_routed_blocks(self, blocks) -> int:
+        """Block-handle variant (the scale path): every shard receives the
+        SAME list of routed-link block refs/tables and extracts + orders
+        its own slice — the driver never materializes a wave's links."""
+        counts = self._call("enqueue_routed_blocks",
+                            [(blocks,)] * len(self.shards))
+        return sum(counts)
+
     # -- drain ------------------------------------------------------------
     def drain_wave(self) -> list[dict]:
         per_shard = max(1, self.cfg.wave_size // self.cfg.n_shards)
@@ -210,9 +221,17 @@ def _route_links(t: pa.Table, *, seed: int, mode: str, n_shards: int,
                  max_depth: int) -> pa.Table:
     """Per-link canonicalize + priority + shard routing, run INSIDE the wave
     pipeline (map_batches) so the per-URL hash/string work parallelizes;
-    the driver only order-splits the result (run_wave step 4)."""
-    cols: dict[str, list] = {k: [] for k in
-                             ("seq", "idx", "url", "host", "path", "depth", "priority", "shard")}
+    shards order-extract their slices (run_wave step 4). canonicalize is
+    per-link Python (branchy dot-segment/scheme logic), but the hash work
+    — priority and shard id — is ONE vectorized pass over the batch."""
+    from ..functions.hashing import hash64_str_array
+
+    seqs: list[int] = []
+    idxs: list[int] = []
+    urls: list[str] = []
+    hosts: list[str] = []
+    paths: list[str] = []
+    depths: list[int] = []
     for s, d, ls in zip(t["seq"].to_pylist(), t["depth"].to_pylist(),
                         t["links"].to_pylist()):
         nd = d + 1
@@ -221,23 +240,31 @@ def _route_links(t: pa.Table, *, seed: int, mode: str, n_shards: int,
         for i, link in enumerate(ls or []):
             cu = canonicalize(link)
             host = host_of(cu)
-            cols["seq"].append(s)
-            cols["idx"].append(i)
-            cols["url"].append(cu)
-            cols["host"].append(host)
-            cols["path"].append(cu.split(host, 1)[1] or "/")
-            cols["depth"].append(nd)
-            cols["priority"].append(url_priority(cu, seed, mode))
-            cols["shard"].append(host_hash(host) % n_shards)
+            seqs.append(s)
+            idxs.append(i)
+            urls.append(cu)
+            hosts.append(host)
+            paths.append(cu.split(host, 1)[1] or "/")
+            depths.append(nd)
+    # vectorized priority (url_priority's exact arithmetic, batched) and
+    # shard routing (host_hash % n_shards, batched)
+    if mode == "fifo":
+        prio = np.zeros(len(urls), dtype=np.int32)
+    else:
+        p = (splitmix64(hash64_str_array(urls) ^ np.uint64(seed))
+             % np.uint64(10)).astype(np.int32)
+        prio = (9 - p) if mode == "reverse" else p
+    shard = (hash64_str_array(hosts, seed=0x05757)
+             % np.uint64(n_shards)).astype(np.int32)
     return pa.table({
-        "seq": pa.array(cols["seq"], pa.int64()),
-        "idx": pa.array(cols["idx"], pa.int32()),
-        "url": pa.array(cols["url"], pa.string()),
-        "host": pa.array(cols["host"], pa.string()),
-        "path": pa.array(cols["path"], pa.string()),
-        "depth": pa.array(cols["depth"], pa.int32()),
-        "priority": pa.array(cols["priority"], pa.int32()),
-        "shard": pa.array(cols["shard"], pa.int32()),
+        "seq": pa.array(seqs, pa.int64()),
+        "idx": pa.array(idxs, pa.int32()),
+        "url": pa.array(urls, pa.string()),
+        "host": pa.array(hosts, pa.string()),
+        "path": pa.array(paths, pa.string()),
+        "depth": pa.array(depths, pa.int32()),
+        "priority": pa.array(prio),
+        "shard": pa.array(shard),
     })
 
 
@@ -418,8 +445,10 @@ class CrawlEngine:
                 WaveStage(**stage_kwargs), batch_format="pyarrow",
                 batch_size=self.cfg.batch_size,
             )
-        link_batches = list(
-            routed.iter_batches(batch_size=8192, batch_format="pyarrow"))
+        # drive the fused stage; the routed link blocks STAY in the object
+        # store — the driver only ever holds their refs
+        mat = routed.materialize()
+        block_refs = list(mat.get_internal_block_refs())
 
         # 3. COMMIT image rows (footer-counted) + the wave's fetch log —
         # both atomic, idempotent on wave re-run, bounded by wave_size
@@ -433,33 +462,11 @@ class CrawlEngine:
             "fetch_time": in_table["fetch_time"],
         }), meta={"wave": wave_no})
 
-        # 4. ENQUEUE discovered links in deterministic order: the driver
-        # receives only the skinny routed columns, sorts by (seq, idx) —
-        # the ordered-enqueue contract — and splits per shard.
-        new_urls = 0
-        if link_batches:
-            tbl = pa.concat_tables(link_batches)
-            if tbl.num_rows:
-                # group rows by shard while keeping (seq, idx) order inside
-                # each shard: stable sort by shard over the (seq, idx)
-                # order, then slice per shard — all numpy, no per-link
-                # driver loop; tuple assembly happens inside the shards
-                order = np.lexsort((tbl["idx"].to_numpy(),
-                                    tbl["seq"].to_numpy()))
-                shard = tbl["shard"].to_numpy()[order]
-                grouped = order[np.argsort(shard, kind="stable")]
-                tbl = tbl.take(pa.array(grouped))
-                bounds = np.searchsorted(np.sort(shard),
-                                         np.arange(self.cfg.n_shards + 1))
-                urls = tbl["url"].to_pylist()
-                hosts = tbl["host"].to_pylist()
-                paths = tbl["path"].to_pylist()
-                depths = tbl["depth"].to_pylist()
-                prios = tbl["priority"].to_pylist()
-                parts = [(urls[a:b], hosts[a:b], paths[a:b], depths[a:b],
-                          prios[a:b])
-                         for a, b in zip(bounds[:-1], bounds[1:])]
-                new_urls = st.enqueue_routed_columns(parts)
+        # 4. ENQUEUE discovered links in deterministic order — SHARD-SIDE
+        # (round-2 verdict #4): every shard gets the block refs, filters
+        # its own rows and sorts its (seq, idx) slice; the per-shard
+        # relative order is the contract. No O(wave) driver collect.
+        new_urls = st.enqueue_routed_blocks(block_refs) if block_refs else 0
 
         # 5. CHECKPOINT
         st.wave = wave_no + 1

@@ -31,10 +31,42 @@ from .urlseen import GrowableSeen
 class CrawlShard:
     def __init__(self, shard_id: int, n_shards: int, seen_capacity: int,
                  seed: int, robots_fetcher):
+        self.shard_id = shard_id
         self.frontier = FrontierShard(shard_id, n_shards)
         self.budget = HostBudget()
         self.seen = GrowableSeen(seen_capacity, seed=seed + shard_id)
         self.robots = RobotsCache(robots_fetcher)
+
+    def enqueue_routed_blocks(self, blocks) -> int:
+        """Shard-side ordered enqueue (round-2 verdict #4): ``blocks`` are
+        the wave's ROUTED link tables (columns seq, idx, url, host, path,
+        depth, priority, shard) — as ObjectRefs in actor mode (the driver
+        ships handles, never link data) or pa.Tables in-process. The shard
+        filters ITS rows and sorts them by (seq, idx) — the per-shard
+        relative order IS the engine contract — then enqueues. The last
+        O(wave) driver term in the crawl goes away."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        refs = [b for b in blocks if not isinstance(b, pa.Table)]
+        if refs:
+            import ray
+
+            got = iter(ray.get(refs))
+            blocks = [b if isinstance(b, pa.Table) else next(got)
+                      for b in blocks]
+        mine = [b.filter(pc.equal(b["shard"], self.shard_id))
+                for b in blocks if b.num_rows]
+        mine = [m for m in mine if m.num_rows]
+        if not mine:
+            return 0
+        t = pa.concat_tables(mine)
+        order = np.lexsort((t["idx"].to_numpy(), t["seq"].to_numpy()))
+        t = t.take(pa.array(order))
+        return self.enqueue_columns(
+            t["url"].to_pylist(), t["host"].to_pylist(),
+            t["path"].to_pylist(), t["depth"].to_pylist(),
+            t["priority"].to_pylist())
 
     def enqueue_columns(self, urls: list[str], hosts: list[str],
                         paths: list[str], depths: list[int],

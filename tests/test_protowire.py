@@ -145,6 +145,28 @@ def test_parse_log_skips_corrupt_and_strips(ray_session):
     assert "Image" not in set(out["name"])  # corrupt payload skipped
 
 
+def test_q54_naoth_closest_vs_bruteforce(ray_session):
+    """q54's parse -> FrameInfo -> closest-image-frame chain must equal a
+    brute-force O(n^2) nearest scan over the same fixture (the reference's
+    14_calculate_closest_frames.py:7-34 oracle), ties to smaller frame."""
+    from logcrawler_ray import queries as q
+
+    got = q.QUERIES["q54_naoth_closest"]("unused")
+    # brute-force oracle straight from the fixture definition: frames 1..15
+    # (frame 9's second FrameInfo payload is corrupt and skipped, but the
+    # first one parses), images on even frames
+    img_frames = [fn for fn in range(1, 16) if fn % 2 == 0 or fn % 4 == 0]
+    for log_no in range(3):
+        times = {fn: 1000 + 33 * fn + 7 * log_no for fn in range(1, 16)}
+        sub = got[got["log_no"] == log_no]
+        assert list(sub["frame_number"]) == list(range(1, 16))
+        for _, row in sub.iterrows():
+            t = times[row["frame_number"]]
+            best = min(img_frames,
+                       key=lambda f: (abs(times[f] - t), f))
+            assert row["closest_image_frame"] == best, (log_no, row.to_dict())
+
+
 def test_q43_deterministic(ray_session):
     from logcrawler_ray import queries as q
 
