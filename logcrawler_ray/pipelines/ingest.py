@@ -71,18 +71,26 @@ def decode_pipeline(ds, *, concurrency: int | tuple[int, int] | None = 4,
 class IngestStage:
     """Fused decode -> stats -> bucket -> parquet-sink stage (the WaveStage
     pattern for ingest): each task writes its committed rows straight into
-    the raw partition's pre-created tmp dir and returns ONLY the skinny
-    (phash, image_id) columns — so one execution yields both the stored
-    payloads and the dedup input, with no separate write operator and no
-    skinny re-read. Output files are named by the batch's min image_id, so
-    a retried task overwrites its own file."""
+    the raw partition's pre-created tmp dir and returns ONLY skinny dedup
+    input — so one execution yields both the stored payloads and the loser
+    pass, with no separate write operator and no skinny re-read. Output
+    files are named by the batch's min image_id, so a retried task
+    overwrites its own file.
+
+    ``emit="partials"`` (the default consumer shape): the return stream is
+    the batch's LOSER PARTIALS (stages/dedup.py::loser_partials) — per-key
+    (min, count) plus batch-local loser markers — so the whole loser pass
+    costs zero extra executions: the driver merges the partial stream.
+    ``emit="skinny"`` returns raw (phash, image_id) rows instead."""
 
     def __init__(self, tmp_dir: str, keep_bytes: bool = True,
-                 n_buckets: int = DEFAULT_BUCKETS, compression: str = "none"):
+                 n_buckets: int = DEFAULT_BUCKETS, compression: str = "none",
+                 emit: str = "skinny"):
         self.decode = DecodeStats(keep_bytes=keep_bytes)
         self.tmp_dir = tmp_dir
         self.n_buckets = n_buckets
         self.compression = compression
+        self.emit = emit
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import os
@@ -103,8 +111,17 @@ class IngestStage:
             pq.write_table(ok, os.path.join(self.tmp_dir, f"part-{tag}.parquet"),
                            compression=self.compression)
         if not ok.num_rows:
+            if self.emit == "partials":
+                return pa.table({"phash": pa.array([], pa.int64()),
+                                 "__o": pa.array([], pa.string()),
+                                 "__n": pa.array([], pa.int64())})
             return pa.table({"phash": pa.array([], pa.int64()),
                              "image_id": pa.array([], pa.string())})
+        if self.emit == "partials":
+            from ..stages.dedup import loser_partials
+
+            return loser_partials(ok.select(["phash", "image_id"]),
+                                  "phash", "image_id")
         return ok.select(["phash", "image_id"])
 
 
@@ -255,36 +272,45 @@ def ingest(source_ds, store: ImageStore | None = None, pid: str = "ingest", *,
             ds = dedup_exact(ds, key="phash", order_col="image_id")
         return ds
 
-    from ..stages.dedup import exact_losers
+    from ..stages.dedup import (DEFAULT_MAX_BROADCAST, exact_losers,
+                                merge_loser_partials)
 
     raw_pid = f"{pid}-raw" if dedup else pid
     losers: frozenset | None = None
     if not store.is_done(raw_pid):
-        # ONE fused execution: decode+stats+bucket+sink per task, skinny
-        # (phash, image_id) rows as the return stream — no separate write
-        # operator, no skinny re-read of the just-written partition
+        # ONE fused execution: decode+stats+bucket+sink per task, the LOSER
+        # PARTIALS as the return stream — no separate write operator, no
+        # skinny re-read, and no second execution for the loser pass
         tmp_dir = store.external_tmp(raw_pid)
         kwargs = dict(tmp_dir=tmp_dir, keep_bytes=keep_bytes,
-                      n_buckets=n_buckets, compression=store.compression)
+                      n_buckets=n_buckets, compression=store.compression,
+                      emit="partials" if dedup else "skinny")
         if concurrency is None:
-            skinny = source_ds.map_batches(IngestStage(**kwargs),
-                                           batch_format="pyarrow",
-                                           batch_size=batch_size)
+            partials = source_ds.map_batches(IngestStage(**kwargs),
+                                             batch_format="pyarrow",
+                                             batch_size=batch_size)
         else:
-            skinny = source_ds.map_batches(IngestStage,
-                                           fn_constructor_kwargs=kwargs,
-                                           batch_format="pyarrow",
-                                           batch_size=batch_size,
-                                           concurrency=concurrency)
-        skinny = skinny.materialize()  # drives the sinks; 16 B/row retained
+            partials = source_ds.map_batches(IngestStage,
+                                             fn_constructor_kwargs=kwargs,
+                                             batch_format="pyarrow",
+                                             batch_size=batch_size,
+                                             concurrency=concurrency)
+        partials = partials.materialize()  # drives the sinks
         store.commit_external(raw_pid, tmp_dir,
                               meta={"pipeline": "ingest",
                                     "stage": "raw" if dedup else "final"})
         if not dedup:
             return store.read_dataset(pid)
-        losers = exact_losers(skinny, "phash", "image_id")
-    elif not dedup:
-        return store.read_dataset(pid)
+        if partials.count() <= DEFAULT_MAX_BROADCAST:
+            # one Arrow concat + ONE pandas conversion: to_pandas() on a
+            # many-small-block materialized dataset pays a per-block
+            # pandas build (~1.5 s at 157 blocks, measured)
+            import ray
+
+            tabs = ray.get(partials.to_arrow_refs())
+            pdf = pa.concat_tables(tabs).to_pandas()
+            losers = merge_loser_partials(pdf, "phash")
+        # else: fall through to the skinny re-read scale path below
 
     if losers is None:  # resume path: raw committed earlier, recompute skinny
         skinny = store.read_dataset(raw_pid, columns=["phash", "image_id"])

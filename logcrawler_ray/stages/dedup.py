@@ -47,38 +47,65 @@ def _dup_keys_only(agg_ds, count_col: str = "__n"):
     return agg_ds.map_batches(only_dups, batch_format="pyarrow")
 
 
+def loser_partials(t: pa.Table, key: str, order_col: str) -> pa.Table:
+    """Per-batch loser partials: (key, __o, __n) rows — each key's
+    (min, count) plus ``__n = -1`` marker rows for BATCH-LOCAL losers (a
+    non-min row of a key within a batch loses globally no matter what
+    other batches hold, since the global min is <= the batch min).
+    Mergeable by :func:`merge_loser_partials`; emitted directly by fused
+    stages (IngestStage) so the loser pass costs no second execution."""
+    df = t.select([key, order_col]).to_pandas()
+    gmin = df.groupby(key)[order_col].transform("min")
+    local = df[df[order_col] != gmin]
+    g = df.groupby(key, as_index=False).agg(
+        __o=(order_col, "min"), __n=(order_col, "size"))
+    loc = pd.DataFrame({key: local[key], "__o": local[order_col],
+                        "__n": np.int64(-1)})
+    return pa.Table.from_pandas(pd.concat([g, loc], ignore_index=True),
+                                preserve_index=False)
+
+
+def merge_loser_partials(pdf: pd.DataFrame, key: str) -> frozenset:
+    """Driver-side merge of loser partials: global losers = local losers +
+    duplicated keys' min entries that aren't the global winner. Vectorized
+    pandas; input is bounded by the caller (DEFAULT_MAX_BROADCAST)."""
+    if pdf.empty:
+        return frozenset()
+    mins = pdf[pdf["__n"] > 0]
+    local_losers = pdf.loc[pdf["__n"] < 0, "__o"]
+    agg = mins.groupby(key, as_index=False).agg(
+        __min=("__o", "min"), __n=("__n", "sum"))
+    dups = agg[agg["__n"] > 1]
+    if dups.empty and local_losers.empty:
+        return frozenset()
+    winner = dict(zip(dups[key], dups["__min"]))
+    dup_mins = mins[mins[key].isin(winner)]
+    extra = dup_mins.loc[
+        dup_mins["__o"].to_numpy()
+        != dup_mins[key].map(winner).to_numpy(), "__o"]
+    return frozenset(local_losers) | frozenset(extra)
+
+
 def exact_losers(skinny_ds, key: str, order_col: str) -> frozenset:
     """Skinny (key, order) dataset -> set of order_col values to DROP.
 
-    ONE distributed pass: each block emits (a) its per-key (min, count)
-    partials and (b) its BLOCK-LOCAL losers — any non-min row of a key
-    within a block loses globally no matter what other blocks hold, since
-    the global min is <= the block min. The driver then merges only the
-    partials: global losers = local losers + block-min entries of
-    duplicated keys whose min isn't the global winner. No second scan,
-    no per-group Python, fully vectorized.
+    ONE distributed pass: each block emits its :func:`loser_partials`; the
+    driver merges only those. No second scan, no per-group Python, fully
+    vectorized.
 
     Driver memory is O(distinct keys per block summed + duplicates); the
     guard falls back to Ray's distributed aggregate + a broadcast-probe
     scan past DEFAULT_MAX_BROADCAST partial rows.
     """
+    import functools
+
     import ray
     from ray.data.aggregate import Count, Min
 
-    def partial(t: pa.Table) -> pa.Table:
-        df = t.select([key, order_col]).to_pandas()
-        gmin = df.groupby(key)[order_col].transform("min")
-        local = df[df[order_col] != gmin]
-        g = df.groupby(key, as_index=False).agg(
-            __o=(order_col, "min"), __n=(order_col, "size"))
-        loc = pd.DataFrame({key: local[key], "__o": local[order_col],
-                            "__n": np.int64(-1)})
-        return pa.Table.from_pandas(pd.concat([g, loc], ignore_index=True),
-                                    preserve_index=False)
-
-    partial_rows = (skinny_ds.map_batches(partial, batch_format="pyarrow")
-                    .limit(DEFAULT_MAX_BROADCAST + 1).take_all())
-    if len(partial_rows) > DEFAULT_MAX_BROADCAST:
+    partial = functools.partial(loser_partials, key=key, order_col=order_col)
+    partial_df = (skinny_ds.map_batches(partial, batch_format="pyarrow")
+                  .limit(DEFAULT_MAX_BROADCAST + 1).to_pandas())
+    if len(partial_df) > DEFAULT_MAX_BROADCAST:
         # scale path: distributed aggregate, DUPLICATES-ONLY filtered
         # distributed, then one broadcast-probe scan — the driver collects
         # O(duplicate keys), never the full distinct-key aggregate
@@ -104,22 +131,7 @@ def exact_losers(skinny_ds, key: str, order_col: str) -> frozenset:
         rows = skinny_ds.map_batches(find_losers, batch_format="pyarrow").take_all()
         return frozenset(r[order_col] for r in rows)
 
-    pdf = pd.DataFrame(partial_rows)
-    if pdf.empty:
-        return frozenset()
-    mins = pdf[pdf["__n"] > 0]
-    local_losers = pdf.loc[pdf["__n"] < 0, "__o"]
-    agg = mins.groupby(key, as_index=False).agg(
-        __min=("__o", "min"), __n=("__n", "sum"))
-    dups = agg[agg["__n"] > 1]
-    if dups.empty and local_losers.empty:
-        return frozenset()
-    winner = dict(zip(dups[key], dups["__min"]))
-    dup_mins = mins[mins[key].isin(winner)]
-    extra = dup_mins.loc[
-        dup_mins["__o"].to_numpy()
-        != dup_mins[key].map(winner).to_numpy(), "__o"]
-    return frozenset(local_losers) | frozenset(extra)
+    return merge_loser_partials(partial_df, key)
 
 
 def dup_winners(skinny_ds, key: str, order_col: str):
