@@ -81,21 +81,9 @@ def lsh_band_rows(doc_ids: np.ndarray, sigs: np.ndarray, bands: int = 16) -> pa.
 # scale hole. Buckets past the cap emit ONE marker row (a = -size,
 # b = bucket key — so markers from different buckets stay distinct through
 # the pair-dedup) instead of g^2/2 pairs; split via split_candidates.
-DEFAULT_MAX_BUCKET = 512
-
-
-def split_candidates(pairs: pd.DataFrame) -> tuple[pd.DataFrame, pd.DataFrame]:
-    """Separate real candidate pairs from dropped-bucket markers (a < 0).
-    Returns (pairs, dropped); dropped carries one row per dropped bucket
-    with its size in the ``size`` column (decoded from -a) — the error
-    channel for capacity decisions."""
-    mark = pairs["a"] < 0
-    dropped = pairs[mark].reset_index(drop=True).copy()
-    if len(dropped):
-        dropped["size"] = -dropped["a"]
-    else:
-        dropped["size"] = pd.Series([], dtype=np.int64)
-    return pairs[~mark].reset_index(drop=True), dropped
+# (Both live in stages/hamming.py now — the cap/marker protocol is shared
+# with the generic code-based near-dup; re-exported here for callers.)
+from .hamming import DEFAULT_MAX_BUCKET, split_candidates  # noqa: E402,F401
 
 
 def band_candidate_pairs(df: pd.DataFrame,
@@ -331,88 +319,18 @@ def simhash_near_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     """Near-dup pairs (pandas DataFrame: a, b, hamming) by simhash Hamming
     distance <= max_hamming.
 
-    Pigeonhole bucketing on ``n_chunks`` bit-chunks: any pair within Hamming
-    ``n_chunks - 1`` shares at least one exact chunk, so recall is exact when
-    ``max_hamming < n_chunks`` (the default picks n_chunks accordingly,
-    capped at 16 x 4-bit chunks — beyond that bucket selectivity collapses
-    and candidate verification dominates).
+    Delegates to the generic multi-index-hashing operator
+    (stages/hamming.py), fusing the simhash computation into its explode
+    pass: any pair within Hamming ``n_chunks - 1`` shares at least one
+    exact chunk, so recall is exact when ``max_hamming < n_chunks``.
     """
-    from ..functions.phash import hamming_batch
+    from .hamming import hamming_near_dup_pairs
 
-    if n_chunks is None:
-        n_chunks = max(4, min(16, max_hamming + 1))
-    width = 64 // n_chunks
-    mask = np.uint64((1 << width) - 1)
-
-    def explode(batch: pa.Table) -> pa.Table:
-        sh = simhash_batch(batch[text_col].to_pylist(), seed=seed)
-        ids = batch[id_col].to_numpy()
-        n = len(ids)
-        chunk_ids = np.repeat(np.arange(n_chunks, dtype=np.int32), n)
-        chunks = np.concatenate(
-            [((sh >> np.uint64(width * c)) & mask).astype(np.int64) for c in range(n_chunks)]
-        )
-        return pa.table(
-            {
-                "chunk": chunk_ids,
-                "value": chunks,
-                id_col: np.tile(ids, n_chunks),
-                "simhash": np.tile(to_int64(sh), n_chunks),
-            }
-        )
-
-    def chunk_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        """One CHUNK's rows: pairs within each equal-value bucket — the
-        groupby key is the chunk (few groups; per-group map_groups over
-        mostly-singleton (chunk,value) buckets was the wall-time)."""
-        counts = df["value"].value_counts()
-        hot = counts[counts >= 2]
-        empty = pd.DataFrame({"a": [], "b": [], "hamming": []}).astype(
-            {"a": np.int64, "b": np.int64, "hamming": np.int64})
-        if hot.empty:
-            return empty
-        out = [empty]
-        for value, g in df[df["value"].isin(hot.index)].groupby("value"):
-            n = len(g)
-            if n > max_bucket:  # O(g^2) guard: dropped-bucket marker
-                chunk = np.int64(g["chunk"].iloc[0])
-                out.append(pd.DataFrame({"a": [np.int64(-n)],
-                                         "b": [np.int64((chunk << 48) ^ (value & 0xFFFFFFFFFFFF))],
-                                         "hamming": [np.int64(-1)]}))
-                continue
-            g = g.sort_values(id_col)
-            ids = g[id_col].to_numpy()
-            sh = to_uint64(g["simhash"].to_numpy())
-            ai, bi = np.triu_indices(n, k=1)
-            d = hamming_batch(sh[ai], sh[bi]).astype(np.int64)
-            keep = d <= max_hamming
-            out.append(pd.DataFrame({"a": ids[ai][keep], "b": ids[bi][keep],
-                                     "hamming": d[keep]}))
-        res = pd.concat(out, ignore_index=True)
-        return pa.Table.from_pandas(res, preserve_index=False)
-
-    pairs = (
-        ds.map_batches(explode, batch_format="pyarrow")
-        .groupby("chunk")
-        .map_groups(chunk_pairs, batch_format="pandas")
-        .to_pandas()
-    )
-    pairs = pairs.reindex(columns=["a", "b", "hamming"])
-    pairs, dropped = split_candidates(pairs)
-    if len(dropped):
-        import logging
-
-        logging.getLogger(__name__).warning(
-            "simhash_near_dup_pairs: %d oversize buckets dropped (sizes %s)",
-            len(dropped), dropped["size"].tolist()[:10])
-    out = (
-        pairs.drop_duplicates(["a", "b"])
-        .sort_values(["a", "b"])
-        .reset_index(drop=True)
-        .astype({"a": np.int64, "b": np.int64, "hamming": np.int64})
-    )
-    out.attrs["dropped_buckets"] = len(dropped)
-    return out
+    return hamming_near_dup_pairs(
+        ds, id_col=id_col, max_hamming=max_hamming, nbits=64,
+        n_chunks=n_chunks, max_bucket=max_bucket,
+        code_fn=lambda batch: simhash_batch(batch[text_col].to_pylist(),
+                                            seed=seed))
 
 
 # ------------------------------------------------------- n-gram Jaccard

@@ -1,0 +1,222 @@
+"""Generic Hamming-distance near-dup over packed bit codes (pigeonhole).
+
+Works over ANY precomputed int64 code column — simhash (text), phash
+(image), embedding sign codes — via multi-index hashing: split the
+``nbits`` code into ``n_chunks`` equal-width chunks; any pair within
+Hamming distance ``n_chunks - 1`` shares at least one exact chunk
+(pigeonhole), so bucketing rows by (chunk_idx, chunk_value) has EXACT
+recall whenever ``max_hamming < n_chunks``. Candidates are verified with
+a vectorized XOR-popcount inside the bucket.
+
+The reference has no similarity operator (SURVEY.md §2.6 O7 notes the
+gap); this is the standard large-corpus code-based near-dup shape,
+Ray-Data-first: the shuffle moves only (int32 chunk, int64 value,
+int64 id, int64 code) rows — payloads and text never move. The groupby
+key is the CHUNK (few groups, CLAUDE.md per-group-cost lesson); equal-
+value buckets are handled vectorized inside each chunk group, with the
+O(g^2) degenerate-bucket guard emitting one marker row per dropped
+bucket (the error channel; see :func:`split_candidates`).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.hashing import to_int64, to_uint64
+from ..functions.phash import hamming_batch
+
+# A degenerate bucket (template pages / constant codes) makes all-pairs
+# generation O(g^2) — buckets past the cap emit ONE marker row
+# (a = -size, b = bucket key, so markers from different buckets stay
+# distinct through the pair-dedup) instead of g^2/2 pairs.
+DEFAULT_MAX_BUCKET = 512
+
+
+def split_candidates(pairs: pd.DataFrame) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Separate real candidate pairs from dropped-bucket markers (a < 0).
+    Returns (pairs, dropped); dropped carries one row per dropped bucket
+    with its size in the ``size`` column (decoded from -a) — the error
+    channel for capacity decisions."""
+    mark = pairs["a"] < 0
+    dropped = pairs[mark].reset_index(drop=True).copy()
+    if len(dropped):
+        dropped["size"] = -dropped["a"]
+    else:
+        dropped["size"] = pd.Series([], dtype=np.int64)
+    return pairs[~mark].reset_index(drop=True), dropped
+
+
+def hamming_near_dup_pairs(ds, code_col: str = "code", id_col: str = "doc_id",
+                           max_hamming: int = 3, nbits: int = 64,
+                           n_chunks: int | None = None,
+                           max_bucket: int = DEFAULT_MAX_BUCKET,
+                           code_fn=None) -> pd.DataFrame:
+    """Near-dup pairs (DataFrame: a, b, hamming; a < b, int64) among rows
+    whose codes differ in <= ``max_hamming`` of the low ``nbits`` bits.
+
+    ``code_fn(batch) -> np.uint64 array`` lets the caller FUSE code
+    computation into the explode pass (no separate map_batches execution);
+    otherwise ``code_col`` must already hold the codes as int64/uint64.
+    ``id_col`` must be int64 (markers encode sizes as negative ids; use a
+    factorize/hash wrapper for string ids — see phash_near_dup_pairs).
+
+    Recall is exact when ``max_hamming < n_chunks`` (asserted); the default
+    picks ``max_hamming + 1`` chunks, capped at 16 — beyond that bucket
+    selectivity collapses and candidate verification dominates.
+    """
+    if n_chunks is None:
+        n_chunks = max(4, min(16, max_hamming + 1))
+    if not max_hamming < n_chunks:
+        raise ValueError(f"recall not exact: max_hamming={max_hamming} "
+                         f">= n_chunks={n_chunks}")
+    if n_chunks > nbits:
+        raise ValueError(f"n_chunks={n_chunks} > nbits={nbits}")
+    # chunk widths differ by at most 1 and COVER all nbits (a bit outside
+    # every chunk would let differences hide from the pigeonhole argument)
+    widths = np.full(n_chunks, nbits // n_chunks, dtype=np.int64)
+    widths[: nbits % n_chunks] += 1
+    offsets = np.concatenate([[0], np.cumsum(widths)[:-1]])
+    masks = [np.uint64((1 << int(w)) - 1) for w in widths]
+    bits_mask = np.uint64((1 << nbits) - 1) if nbits < 64 else np.uint64(~np.uint64(0))
+
+    def explode(batch: pa.Table) -> pa.Table:
+        if code_fn is not None:
+            codes = np.asarray(code_fn(batch), dtype=np.uint64)
+        else:
+            codes = to_uint64(batch[code_col].to_numpy(zero_copy_only=False))
+        codes = codes & bits_mask
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(ids)
+        chunk_ids = np.repeat(np.arange(n_chunks, dtype=np.int32), n)
+        chunks = np.concatenate(
+            [to_int64((codes >> np.uint64(int(offsets[c]))) & masks[c])
+             for c in range(n_chunks)])
+        return pa.table({"chunk": chunk_ids, "value": chunks,
+                         "__id": np.tile(ids, n_chunks),
+                         "__code": np.tile(to_int64(codes), n_chunks)})
+
+    def chunk_pairs(df: pd.DataFrame):
+        """One CHUNK's rows: pairs within each equal-value bucket."""
+        counts = df["value"].value_counts()
+        hot = counts[counts >= 2]
+        empty = pd.DataFrame({"a": [], "b": [], "hamming": []}).astype(
+            {"a": np.int64, "b": np.int64, "hamming": np.int64})
+        if hot.empty:
+            return pa.Table.from_pandas(empty, preserve_index=False)
+        out = [empty]
+        for value, g in df[df["value"].isin(hot.index)].groupby("value"):
+            n = len(g)
+            if n > max_bucket:  # O(g^2) guard: dropped-bucket marker
+                chunk = np.int64(g["chunk"].iloc[0])
+                out.append(pd.DataFrame(
+                    {"a": [np.int64(-n)],
+                     "b": [np.int64((chunk << 48) ^ (value & 0xFFFFFFFFFFFF))],
+                     "hamming": [np.int64(-1)]}))
+                continue
+            g = g.sort_values("__id")
+            ids = g["__id"].to_numpy()
+            codes = to_uint64(g["__code"].to_numpy())
+            ai, bi = np.triu_indices(n, k=1)
+            d = hamming_batch(codes[ai], codes[bi]).astype(np.int64)
+            keep = d <= max_hamming
+            out.append(pd.DataFrame({"a": ids[ai][keep], "b": ids[bi][keep],
+                                     "hamming": d[keep]}))
+        return pa.Table.from_pandas(pd.concat(out, ignore_index=True),
+                                    preserve_index=False)
+
+    pairs = (ds.map_batches(explode, batch_format="pyarrow")
+             .groupby("chunk")
+             .map_groups(chunk_pairs, batch_format="pandas")
+             .to_pandas())
+    pairs = pairs.reindex(columns=["a", "b", "hamming"])
+    pairs, dropped = split_candidates(pairs)
+    if len(dropped):
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "hamming_near_dup_pairs: %d oversize buckets dropped (sizes %s)",
+            len(dropped), dropped["size"].tolist()[:10])
+    out = (pairs.drop_duplicates(["a", "b"])
+           .sort_values(["a", "b"]).reset_index(drop=True)
+           .astype({"a": np.int64, "b": np.int64, "hamming": np.int64}))
+    out.attrs["dropped_buckets"] = len(dropped)
+    return out
+
+
+def sign_codes(mat: np.ndarray, nbits: int = 32) -> np.ndarray:
+    """(N, d) embedding matrix -> (N,) uint64 sign codes: bit i set iff
+    component i > 0 (the SQL-expressible LSH family: one hyperplane per
+    axis). ``nbits <= min(d, 64)``."""
+    if mat.shape[1] < nbits:
+        raise ValueError(f"need >= {nbits} dims, got {mat.shape[1]}")
+    bits = (mat[:, :nbits] > 0).astype(np.uint64)
+    weights = np.uint64(1) << np.arange(nbits, dtype=np.uint64)
+    return bits @ weights
+
+
+def embedding_sign_code_fn(emb_col: str = "embedding", nbits: int = 32):
+    """code_fn for :func:`hamming_near_dup_pairs` over a list<float>
+    embedding column."""
+
+    def fn(batch: pa.Table) -> np.ndarray:
+        mat = np.stack(batch[emb_col].to_numpy(zero_copy_only=False))
+        return sign_codes(mat, nbits=nbits)
+
+    return fn
+
+
+def phash_near_dup_pairs(ds, code_col: str = "phash",
+                         id_col: str = "image_id", max_hamming: int = 3,
+                         **kw) -> pd.DataFrame:
+    """Image near-dup by perceptual-hash Hamming distance, with STRING ids
+    (the corpus's image_id): ids are mapped to int64 via hash64, pairs are
+    generated distributed, and only the RESULT pairs' ids are resolved back
+    by one broadcast-probe scan of the skinny (id, code) projection — the
+    corpus never transits the driver.
+
+    Returns (a, b, hamming) with the original string ids, a < b.
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import hash64_str_array
+
+    # ids must stay NON-NEGATIVE: a < 0 is the dropped-bucket marker
+    # channel (split_candidates), so a sign-bit hashed id would be
+    # silently misread as a marker. 63-bit ids keep collisions ~2^-63.
+    sign_off = np.uint64(0x7FFFFFFFFFFFFFFF)
+
+    def add_id64(batch: pa.Table) -> pa.Table:
+        id64 = to_int64(hash64_str_array(batch[id_col].to_pylist()) & sign_off)
+        return pa.table({code_col: batch[code_col], "__id64": id64})
+
+    skinny = ds.map_batches(add_id64, batch_format="pyarrow")
+    pairs = hamming_near_dup_pairs(skinny, code_col=code_col,
+                                   id_col="__id64",
+                                   max_hamming=max_hamming, **kw)
+    if pairs.empty:
+        return pd.DataFrame({"a": pd.Series([], dtype=object),
+                             "b": pd.Series([], dtype=object),
+                             "hamming": pd.Series([], dtype=np.int64)})
+    import ray
+
+    hit64 = pa.array(np.unique(np.concatenate(
+        [pairs["a"].to_numpy(), pairs["b"].to_numpy()])))
+    ref = ray.put(hit64)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        id64 = pa.array(to_int64(
+            hash64_str_array(batch[id_col].to_pylist()) & sign_off))
+        t = pa.table({id_col: batch[id_col], "__id64": id64})
+        return t.filter(pc.is_in(t["__id64"], value_set=ray.get(ref)))
+
+    lookup = ds.map_batches(probe, batch_format="pyarrow").to_pandas()
+    name = dict(zip(lookup["__id64"], lookup[id_col]))
+    out = pd.DataFrame({"a": pairs["a"].map(name), "b": pairs["b"].map(name),
+                        "hamming": pairs["hamming"]})
+    swap = out["a"] > out["b"]  # restore a < b in STRING order
+    out.loc[swap, ["a", "b"]] = out.loc[swap, ["b", "a"]].to_numpy()
+    out = out.sort_values(["a", "b"]).reset_index(drop=True)
+    out.attrs["dropped_buckets"] = pairs.attrs.get("dropped_buckets", 0)
+    return out
