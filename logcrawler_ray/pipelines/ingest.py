@@ -321,3 +321,39 @@ def ingest(source_ds, store: ImageStore | None = None, pid: str = "ingest", *,
     store.commit_delete_view(pid, raw_pid, losers, key_col="image_id",
                              meta={"pipeline": "ingest", "stage": "dedup"})
     return store.read_dataset(pid)
+
+
+def neardup_pass(store: ImageStore, base_pid: str, pid: str | None = None, *,
+                 max_hamming: int = 2, max_bucket: int = 4096) -> str:
+    """NEAR-dup cluster dedup post-pass over a committed partition.
+
+    Third dedup tier after exact phash dedup: a column-pruned
+    (image_id, phash) re-read of ``base_pid`` (16 bytes + id per row — the
+    payloads never leave storage) feeds the pigeonhole Hamming pair
+    generator (stages/hamming.py), pairs become first-wins cluster losers
+    via connected components (stages/cc.py), and the losers are committed
+    as a delete-vector VIEW ``pid`` over the base — dedup stays metadata,
+    exactly like the exact pass in :func:`ingest`.
+
+    Pair volume is bounded by the bucket caps (dropped oversize buckets
+    surface via the marker channel), so the loser set is driver-safe:
+    O(near-duplicate rows), not O(corpus). Resume: a committed ``pid``
+    short-circuits. Returns ``pid``.
+    """
+    from ..stages.cc import neardup_losers_str
+    from ..stages.hamming import phash_near_dup_pairs
+
+    pid = pid or f"{base_pid}-neardup"
+    if store.is_done(pid):
+        return pid
+    skinny = store.read_dataset(
+        base_pid, columns=["image_id", "phash"]).materialize()
+    pairs = phash_near_dup_pairs(skinny, max_hamming=max_hamming,
+                                 max_bucket=max_bucket)
+    losers = neardup_losers_str(pairs)
+    store.commit_delete_view(
+        pid, base_pid, losers, key_col="image_id",
+        meta={"pipeline": "ingest", "stage": "neardup",
+              "max_hamming": max_hamming, "n_pairs": int(len(pairs)),
+              "dropped_buckets": int(pairs.attrs.get("dropped_buckets", 0))})
+    return pid

@@ -210,3 +210,18 @@ def neardup_losers(pairs: pd.DataFrame, a: str = "a", b: str = "b") -> frozenset
     stages/dedup.py broadcasts, so delete-vector commits apply unchanged."""
     lab = cc_labels_df(pairs, a=a, b=b)
     return frozenset(lab.loc[lab["node"] != lab["component"], "node"])
+
+
+def neardup_losers_str(pairs: pd.DataFrame, a: str = "a", b: str = "b") -> frozenset:
+    """:func:`neardup_losers` for STRING-id pairs (e.g. the corpus's
+    image_id): ids are coded to their rank in sorted order, so the int
+    component minimum IS the lexicographic minimum — first-wins keeps
+    the smallest string id of each cluster."""
+    if pairs.empty:
+        return frozenset()
+    cats = np.unique(np.concatenate(
+        [pairs[a].to_numpy(), pairs[b].to_numpy()]))
+    code = {s: i for i, s in enumerate(cats)}
+    coded = pd.DataFrame({a: pairs[a].map(code).astype(np.int64),
+                          b: pairs[b].map(code).astype(np.int64)})
+    return frozenset(cats[i] for i in neardup_losers(coded, a=a, b=b))

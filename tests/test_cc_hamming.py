@@ -158,3 +158,27 @@ def test_phash_near_dup_string_ids(ray_session):
                 np.arange(len(codes)), codes.view(np.uint64), 2)}
     assert set(map(tuple, got[["a", "b", "hamming"]].to_numpy())) == want
     assert (got["a"] < got["b"]).all()
+
+
+def test_neardup_pass_commits_cluster_losers(ray_session, tmp_path):
+    from logcrawler_ray.pipelines.ingest import neardup_pass
+    from logcrawler_ray.sources.store import ImageStore
+
+    store = ImageStore(str(tmp_path / "store"))
+    # phashes: {a,b,c} one near-dup cluster (chain a-b, b-c at hamming 1);
+    # d far away (32 set bits); e exact-equal to a (hamming 0 joins)
+    tab = pa.table({
+        "image_id": ["a", "b", "c", "d", "e"],
+        "phash": pa.array([0, 1, 3, 0x5555555555555555, 0], pa.int64()),
+        "payload": [b"x"] * 5,
+    })
+    store.append_table("base", tab)
+    pid = neardup_pass(store, "base", max_hamming=1)
+    kept = sorted(store.read_table(pid, columns=["image_id"])
+                  ["image_id"].to_pylist())
+    assert kept == ["a", "d"]  # 'a' = min of cluster {a,b,c,e}; 'd' solo
+    meta = store.manifest(pid)["meta"]
+    assert meta["stage"] == "neardup" and meta["n_pairs"] >= 4
+    # resume short-circuits: second call must not recompute/recommit
+    assert neardup_pass(store, "base", max_hamming=1) == pid
+    assert store.rows(pid) == 2
