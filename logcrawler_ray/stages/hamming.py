@@ -48,19 +48,29 @@ def split_candidates(pairs: pd.DataFrame) -> tuple[pd.DataFrame, pd.DataFrame]:
     return pairs[~mark].reset_index(drop=True), dropped
 
 
-def hamming_near_dup_pairs(ds, code_col: str = "code", id_col: str = "doc_id",
-                           max_hamming: int = 3, nbits: int = 64,
-                           n_chunks: int | None = None,
-                           max_bucket: int = DEFAULT_MAX_BUCKET,
-                           code_fn=None) -> pd.DataFrame:
-    """Near-dup pairs (DataFrame: a, b, hamming; a < b, int64) among rows
-    whose codes differ in <= ``max_hamming`` of the low ``nbits`` bits.
+def hamming_pairs_ds(ds, code_col: str = "code", id_col: str = "doc_id",
+                     max_hamming: int = 3, nbits: int = 64,
+                     n_chunks: int | None = None,
+                     max_bucket: int = DEFAULT_MAX_BUCKET,
+                     code_fn=None):
+    """Dataset-native near-dup pair generation — the 100-TB shape.
+
+    Returns ``(pairs_ds, n_dropped_buckets)``: a MATERIALIZED Dataset of
+    distinct verified (a, b, hamming) pairs (a < b, int64) among rows
+    whose codes differ in <= ``max_hamming`` of the low ``nbits`` bits,
+    plus the dropped-oversize-bucket count (the error channel). Pairs
+    never transit the driver: cross-chunk duplicates are removed with a
+    native (a, b) groupby (a skinny int64 shuffle), and the marker rows
+    are filtered and counted distributed. Feed the result straight into
+    :func:`..cc.cc_labels_dataset` for cluster labels, or ``to_pandas()``
+    it only when the pair volume is known-bounded.
 
     ``code_fn(batch) -> np.uint64 array`` lets the caller FUSE code
     computation into the explode pass (no separate map_batches execution);
     otherwise ``code_col`` must already hold the codes as int64/uint64.
-    ``id_col`` must be int64 (markers encode sizes as negative ids; use a
-    factorize/hash wrapper for string ids — see phash_near_dup_pairs).
+    ``id_col`` must be int64 and NON-NEGATIVE (markers encode sizes as
+    negative ids; use a factorize/hash wrapper for string ids — see
+    phash_near_dup_pairs).
 
     Recall is exact when ``max_hamming < n_chunks`` (asserted); the default
     picks ``max_hamming + 1`` chunks, capped at 16 — beyond that bucket
@@ -126,22 +136,49 @@ def hamming_near_dup_pairs(ds, code_col: str = "code", id_col: str = "doc_id",
         return pa.Table.from_pandas(pd.concat(out, ignore_index=True),
                                     preserve_index=False)
 
-    pairs = (ds.map_batches(explode, batch_format="pyarrow")
-             .groupby("chunk")
-             .map_groups(chunk_pairs, batch_format="pandas")
-             .to_pandas())
-    pairs = pairs.reindex(columns=["a", "b", "hamming"])
-    pairs, dropped = split_candidates(pairs)
-    if len(dropped):
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Min
+
+    raw = (ds.map_batches(explode, batch_format="pyarrow")
+           .groupby("chunk")
+           .map_groups(chunk_pairs, batch_format="pandas")
+           .materialize())
+    n_dropped = raw.map_batches(
+        lambda t: pa.table({"n": [int(pc.sum(
+            pc.less(t["a"], 0)).as_py() or 0)]}),
+        batch_format="pyarrow").sum("n")
+    # distinct across chunks (a pair is found once per clean shared chunk):
+    # native groupby — hamming is a function of (a, b), so Min == the value
+    pairs = (raw.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["a"], 0)),
+        batch_format="pyarrow")
+        .groupby(["a", "b"]).aggregate(Min("hamming", alias_name="hamming"))
+        .materialize())
+    return pairs, int(n_dropped or 0)
+
+
+def hamming_near_dup_pairs(ds, code_col: str = "code", id_col: str = "doc_id",
+                           max_hamming: int = 3, nbits: int = 64,
+                           n_chunks: int | None = None,
+                           max_bucket: int = DEFAULT_MAX_BUCKET,
+                           code_fn=None) -> pd.DataFrame:
+    """:func:`hamming_pairs_ds` collected to a sorted pandas DataFrame
+    (a, b, hamming; ``.attrs['dropped_buckets']`` = error-channel count)
+    — for the bounded contexts (tests, oracle gates, small corpora) where
+    the pair list is known to fit the driver."""
+    pairs_ds, n_dropped = hamming_pairs_ds(
+        ds, code_col=code_col, id_col=id_col, max_hamming=max_hamming,
+        nbits=nbits, n_chunks=n_chunks, max_bucket=max_bucket,
+        code_fn=code_fn)
+    out = pairs_ds.to_pandas().reindex(columns=["a", "b", "hamming"])
+    if n_dropped:
         import logging
 
         logging.getLogger(__name__).warning(
-            "hamming_near_dup_pairs: %d oversize buckets dropped (sizes %s)",
-            len(dropped), dropped["size"].tolist()[:10])
-    out = (pairs.drop_duplicates(["a", "b"])
-           .sort_values(["a", "b"]).reset_index(drop=True)
+            "hamming_near_dup_pairs: %d oversize buckets dropped", n_dropped)
+    out = (out.sort_values(["a", "b"]).reset_index(drop=True)
            .astype({"a": np.int64, "b": np.int64, "hamming": np.int64}))
-    out.attrs["dropped_buckets"] = len(dropped)
+    out.attrs["dropped_buckets"] = n_dropped
     return out
 
 
@@ -165,6 +202,19 @@ def embedding_sign_code_fn(emb_col: str = "embedding", nbits: int = 32):
         return sign_codes(mat, nbits=nbits)
 
     return fn
+
+
+# ids must stay NON-NEGATIVE: a < 0 is the dropped-bucket marker channel
+# (split_candidates), so a sign-bit hashed id would be silently misread as
+# a marker. 63-bit ids keep collisions ~2^-63.
+_SIGN_OFF = np.uint64(0x7FFFFFFFFFFFFFFF)
+
+
+def str_id64(strings: list) -> np.ndarray:
+    """String ids -> non-negative int64 ids for the pair/marker protocol."""
+    from ..functions.hashing import hash64_str_array
+
+    return to_int64(hash64_str_array(strings) & _SIGN_OFF)
 
 
 def phash_near_dup_pairs(ds, code_col: str = "phash",
