@@ -324,36 +324,118 @@ def ingest(source_ds, store: ImageStore | None = None, pid: str = "ingest", *,
 
 
 def neardup_pass(store: ImageStore, base_pid: str, pid: str | None = None, *,
-                 max_hamming: int = 2, max_bucket: int = 4096) -> str:
+                 max_hamming: int = 2, max_bucket: int = 4096,
+                 max_driver_pairs: int = 500_000) -> str:
     """NEAR-dup cluster dedup post-pass over a committed partition.
 
     Third dedup tier after exact phash dedup: a column-pruned
     (image_id, phash) re-read of ``base_pid`` (16 bytes + id per row — the
-    payloads never leave storage) feeds the pigeonhole Hamming pair
-    generator (stages/hamming.py), pairs become first-wins cluster losers
-    via connected components (stages/cc.py), and the losers are committed
-    as a delete-vector VIEW ``pid`` over the base — dedup stays metadata,
-    exactly like the exact pass in :func:`ingest`.
+    payloads never leave storage) feeds the Dataset-native pigeonhole
+    Hamming pair generator (stages/hamming.py::hamming_pairs_ds), pairs
+    become first-wins cluster losers (per-cluster lexicographic-min
+    image_id survives) via connected components (stages/cc.py), and the
+    losers are committed as a delete-vector VIEW ``pid`` over the base —
+    dedup stays metadata, exactly like the exact pass in :func:`ingest`.
 
-    Pair volume is bounded by the bucket caps (dropped oversize buckets
-    surface via the marker channel), so the loser set is driver-safe:
-    O(near-duplicate rows), not O(corpus). Resume: a committed ``pid``
-    short-circuits. Returns ``pid``.
+    TWO loser tiers off the one pair Dataset, picked by its measured size:
+
+    - ``<= max_driver_pairs``: driver-side vectorized CC
+      (:func:`..stages.cc.cc_labels_df`) + one broadcast-probe scan to
+      resolve the hashed ids back to strings — the common case, no extra
+      Ray rounds.
+    - above it: fully distributed — :func:`..stages.cc.cluster_losers_ds`
+      (star-contraction CC + co-grouped id resolution) writes the sorted
+      loser file from a worker; the driver never holds a pair, a label or
+      a loser (:meth:`ImageStore.commit_delete_view_file`).
+
+    Both tiers drop the SAME set (CC and the min-string winner rule do not
+    depend on the id hashing), so tier choice never changes results.
+    Dropped oversize buckets surface via the marker channel into the
+    manifest meta. Resume: a committed ``pid`` short-circuits. Returns
+    ``pid``.
     """
-    from ..stages.cc import neardup_losers_str
-    from ..stages.hamming import phash_near_dup_pairs
+    import os
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray
+
+    from ..stages.cc import cc_labels_df, cluster_losers_ds
+    from ..stages.hamming import hamming_pairs_ds, str_id64
 
     pid = pid or f"{base_pid}-neardup"
     if store.is_done(pid):
         return pid
-    skinny = store.read_dataset(
-        base_pid, columns=["image_id", "phash"]).materialize()
-    pairs = phash_near_dup_pairs(skinny, max_hamming=max_hamming,
-                                 max_bucket=max_bucket)
-    losers = neardup_losers_str(pairs)
-    store.commit_delete_view(
-        pid, base_pid, losers, key_col="image_id",
-        meta={"pipeline": "ingest", "stage": "neardup",
-              "max_hamming": max_hamming, "n_pairs": int(len(pairs)),
-              "dropped_buckets": int(pairs.attrs.get("dropped_buckets", 0))})
+
+    def add_id64(t: pa.Table) -> pa.Table:
+        return pa.table({"image_id": t["image_id"], "phash": t["phash"],
+                         "__id64": pa.array(
+                             str_id64(t["image_id"].to_pylist()))})
+
+    skinny = (store.read_dataset(base_pid, columns=["image_id", "phash"])
+              .map_batches(add_id64, batch_format="pyarrow").materialize())
+    pairs_ds, n_dropped = hamming_pairs_ds(
+        skinny, code_col="phash", id_col="__id64",
+        max_hamming=max_hamming, max_bucket=max_bucket)
+    n_pairs = pairs_ds.count()
+    meta = {"pipeline": "ingest", "stage": "neardup",
+            "max_hamming": max_hamming, "n_pairs": int(n_pairs),
+            "dropped_buckets": int(n_dropped)}
+
+    if n_pairs == 0:
+        store.commit_delete_view(pid, base_pid, [], key_col="image_id",
+                                 meta={**meta, "tier": "empty"})
+        return pid
+
+    if n_pairs <= max_driver_pairs:
+        pairs = pairs_ds.to_pandas()
+        lab = cc_labels_df(pairs)
+        ref = ray.put(pa.array(lab["node"].to_numpy()))
+
+        def probe(t: pa.Table) -> pa.Table:
+            sel = t.filter(pc.is_in(t["__id64"], value_set=ray.get(ref)))
+            return sel.select(["image_id", "__id64"])
+
+        look = skinny.map_batches(probe, batch_format="pyarrow").to_pandas()
+        name = dict(zip(look["__id64"], look["image_id"]))
+        df = pd.DataFrame({"component": lab["component"],
+                           "id": lab["node"].map(name)})
+        df = df.sort_values(["component", "id"], kind="mergesort")
+        losers = df.loc[df["component"].duplicated(), "id"]
+        store.commit_delete_view(pid, base_pid, losers, key_col="image_id",
+                                 meta={**meta, "tier": "driver"})
+        return pid
+
+    # distributed tier: losers never transit the driver
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    losers_ds = cluster_losers_ds(pairs_ds, skinny, id64_col="__id64",
+                                  id_col="image_id")
+    loser_dir = tempfile.mkdtemp(prefix="neardup-losers-", dir=store.root)
+    path = os.path.join(loser_dir, "losers.parquet")
+
+    def write_file(g: pa.Table) -> pa.Table:
+        arr = pc.unique(g["image_id"].combine_chunks())
+        arr = arr.take(pc.sort_indices(arr))
+        pq.write_table(pa.table({"image_id": arr}), path)
+        return pa.table({"n": pa.array([len(arr)], pa.int64())})
+
+    wrote = (losers_ds.map_batches(
+        lambda t: t.append_column("__g", pa.array(
+            np.zeros(t.num_rows, dtype=np.int32))), batch_format="pyarrow")
+        .groupby("__g").map_groups(write_file, batch_format="pyarrow")
+        .take_all())
+    try:
+        if wrote:
+            store.commit_delete_view_file(pid, base_pid, path,
+                                          key_col="image_id",
+                                          meta={**meta, "tier": "distributed"})
+        else:  # every pair node resolved to the same survivor somehow
+            store.commit_delete_view(pid, base_pid, [], key_col="image_id",
+                                     meta={**meta, "tier": "distributed"})
+    finally:
+        import shutil
+
+        shutil.rmtree(loser_dir, ignore_errors=True)
     return pid

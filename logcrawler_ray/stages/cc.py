@@ -204,6 +204,72 @@ def cc_labels_dataset(edges_ds, a: str = "a", b: str = "b", *,
     raise CCNotConverged(f"no fixpoint after {max_rounds} rounds")
 
 
+def cluster_losers_ds(pairs_ds, idmap_ds, *, id64_col: str = "__id64",
+                      id_col: str = "image_id", n_buckets: int = 16,
+                      max_rounds: int = 60):
+    """Pair Dataset (int64 hashed ids) + (id64, string id) map Dataset ->
+    Dataset of LOSER string ids under first-wins cluster dedup (the
+    per-component lexicographic-MIN string id survives — the same winner
+    rule as :func:`neardup_losers_str`), fully distributed:
+
+    1. :func:`cc_labels_dataset` labels every paired node;
+    2. string ids attach to labels via a coarse-bucket co-group on
+       hash(id64) — ONE skinny (int64, string) shuffle of the corpus map,
+       never a ``Dataset.join`` (empty-hash-partition crash, CLAUDE.md)
+       and never a driver broadcast;
+    3. per-component winners are picked inside coarse component-hash
+       buckets (sort by (component, id), first kept), vectorized pandas
+       within the group, Arrow table out.
+
+    The driver never holds a node, a label, or a loser. id64 collisions
+    (~2^-63 for :func:`..hamming.str_id64`) could merge two clusters —
+    the standard hashed-id caveat, shared with the pair generator.
+    """
+    import pyarrow.compute as pc
+
+    from .dedup import _bucket_of
+
+    labels = cc_labels_dataset(pairs_ds, max_rounds=max_rounds)
+
+    def tag_label(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": t["node"], "component": t["component"],
+            id_col: pa.nulls(t.num_rows, pa.string()),
+            "__b": _bucket_of(t["node"], n_buckets)})
+
+    def tag_map(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": t[id64_col],
+            "component": pa.nulls(t.num_rows, pa.int64()),
+            id_col: t[id_col],
+            "__b": _bucket_of(t[id64_col], n_buckets)})
+
+    both = (labels.map_batches(tag_label, batch_format="pyarrow")
+            .union(idmap_ds.map_batches(tag_map, batch_format="pyarrow")))
+
+    def attach(g: pa.Table) -> pa.Table:
+        is_map = pc.is_valid(g[id_col])
+        m, lab = g.filter(is_map), g.filter(pc.invert(is_map))
+        idx = pc.index_in(lab["node"], value_set=m["node"].combine_chunks())
+        ids = pc.take(m[id_col].combine_chunks(), idx)
+        return pa.table({"component": lab["component"], id_col: ids})
+
+    comp_ids = both.groupby("__b").map_groups(attach, batch_format="pyarrow")
+
+    def rebucket(t: pa.Table) -> pa.Table:
+        return t.append_column("__b", _bucket_of(t["component"], n_buckets))
+
+    def losers(df: pd.DataFrame):
+        df = df.sort_values(["component", id_col], kind="mergesort")
+        out = df.loc[df["component"].duplicated(), id_col]
+        # pin the string dtype: an empty pandas object column would build
+        # a null-typed Arrow column and break the cross-group schema union
+        return pa.table({id_col: pa.array(out.tolist(), pa.string())})
+
+    return (comp_ids.map_batches(rebucket, batch_format="pyarrow")
+            .groupby("__b").map_groups(losers, batch_format="pandas"))
+
+
 def neardup_losers(pairs: pd.DataFrame, a: str = "a", b: str = "b") -> frozenset:
     """Pair DataFrame -> ids to DROP under first-wins cluster dedup
     (everything but each component's min id) — the same loser-set shape

@@ -182,3 +182,33 @@ def test_neardup_pass_commits_cluster_losers(ray_session, tmp_path):
     # resume short-circuits: second call must not recompute/recommit
     assert neardup_pass(store, "base", max_hamming=1) == pid
     assert store.rows(pid) == 2
+
+
+def test_neardup_pass_tiers_agree(ray_session, tmp_path):
+    """The distributed loser tier (forced via max_driver_pairs=0) must drop
+    exactly the set the driver tier drops — tier choice is a size decision,
+    never a semantics decision."""
+    from logcrawler_ray.pipelines.ingest import neardup_pass
+    from logcrawler_ray.sources.store import ImageStore
+
+    rng = np.random.default_rng(23)
+    base = rng.integers(0, 2**63, 40, dtype=np.int64).astype(np.uint64)
+    near = base[:15].copy()
+    for i in range(15):
+        near[i] ^= np.uint64(1) << np.uint64(rng.integers(0, 64))
+    codes = np.concatenate([base, near]).view(np.int64)
+    ids = [f"im{i:04d}" for i in range(len(codes))]
+    tab = pa.table({"image_id": ids, "phash": pa.array(codes, pa.int64()),
+                    "payload": [b"x"] * len(ids)})
+
+    kept = {}
+    for tier, cap in [("driver", 500_000), ("distributed", 0)]:
+        store = ImageStore(str(tmp_path / tier))
+        store.append_table("base", tab)
+        pid = neardup_pass(store, "base", max_hamming=2,
+                           max_driver_pairs=cap)
+        kept[tier] = sorted(store.read_table(pid, columns=["image_id"])
+                            ["image_id"].to_pylist())
+        assert store.manifest(pid)["meta"]["tier"] == tier
+    assert kept["driver"] == kept["distributed"]
+    assert len(kept["driver"]) < len(ids)  # some near-dups actually dropped
