@@ -156,13 +156,6 @@ class CrawlState:
         counts = self._call("enqueue_batch", [(b,) for b in per_shard])
         return sum(counts)
 
-    def enqueue_routed_columns(self, parts: list[tuple]) -> int:
-        """Columnar variant: one (urls, hosts, paths, depths, prios) slice
-        per shard; the per-link tuple assembly runs inside the shards
-        (parallel in actor mode), never on the driver."""
-        counts = self._call("enqueue_columns", parts)
-        return sum(counts)
-
     def enqueue_routed_blocks(self, blocks) -> int:
         """Block-handle variant (the scale path): every shard receives the
         SAME list of routed-link block refs/tables and extracts + orders

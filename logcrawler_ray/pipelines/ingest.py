@@ -211,6 +211,7 @@ def ingest_sharded(source_files: list[str], store: ImageStore, *,
         # groupby — no key or loser ever transits the driver
         import tempfile
 
+        store._assert_sink_visible()  # loser files are written by workers
         loser_dir = tempfile.mkdtemp(prefix="losers-", dir=store.root)
         routed = exact_losers_files(skinny, "phash", "image_id", "__shard",
                                     loser_dir, dups=dups)
@@ -412,6 +413,7 @@ def neardup_pass(store: ImageStore, base_pid: str, pid: str | None = None, *,
 
     losers_ds = cluster_losers_ds(pairs_ds, skinny, id64_col="__id64",
                                   id_col="image_id")
+    store._assert_sink_visible()  # worker writes into store.root below
     loser_dir = tempfile.mkdtemp(prefix="neardup-losers-", dir=store.root)
     path = os.path.join(loser_dir, "losers.parquet")
 

@@ -235,11 +235,16 @@ def exact_losers_files(skinny_ds, key: str, order_col: str, part_col: str,
             "__min": pa.nulls(t.num_rows, t[order_col].type),
             "__b": _bucket_of(t[key], num_buckets)})
 
+    # winner rows must type their null part_col like the skinny side's, or
+    # the union's schema unification fails for non-string partition columns
+    sch = skinny_ds.schema()  # ray.data.Schema: parallel names/types lists
+    part_type = dict(zip(sch.names, sch.types))[part_col]
+
     def tag_winner(t: pa.Table) -> pa.Table:
         return pa.table({
             key: t[key],
             order_col: pa.nulls(t.num_rows, t["__min"].type),
-            part_col: pa.nulls(t.num_rows, pa.string()),
+            part_col: pa.nulls(t.num_rows, part_type),
             "__min": t["__min"],
             "__b": _bucket_of(t[key], num_buckets)})
 

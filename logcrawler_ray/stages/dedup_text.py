@@ -218,11 +218,15 @@ def verify_jaccard_pairs(ds, pairs_ds, text_col: str = "text",
             ids, lists = ray.get(sets_ref)
             ia = pc.fill_null(pc.index_in(t["a"], value_set=ids), -1).to_pylist()
             ib = pc.fill_null(pc.index_in(t["b"], value_set=ids), -1).to_pylist()
+            # build each referenced doc's set ONCE per batch — a hot doc in
+            # k pairs must not pay k list->set conversions (review finding)
+            cache = {i: set(lists[i].as_py())
+                     for i in set(ia) | set(ib) if i >= 0}
             oa, ob, oj = [], [], []
             for a, b, i, j2 in zip(t["a"].to_pylist(), t["b"].to_pylist(),
                                    ia, ib):
-                sa = set(lists[i].as_py()) if i >= 0 else set()
-                sb = set(lists[j2].as_py()) if j2 >= 0 else set()
+                sa = cache[i] if i >= 0 else set()
+                sb = cache[j2] if j2 >= 0 else set()
                 union = len(sa | sb)
                 j = (len(sa & sb) / union) if union else 1.0
                 if j >= threshold:

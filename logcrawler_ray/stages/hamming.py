@@ -198,6 +198,8 @@ def embedding_sign_code_fn(emb_col: str = "embedding", nbits: int = 32):
     embedding column."""
 
     def fn(batch: pa.Table) -> np.ndarray:
+        if batch.num_rows == 0:  # np.stack([]) raises; empty blocks happen
+            return np.empty(0, dtype=np.uint64)
         mat = np.stack(batch[emb_col].to_numpy(zero_copy_only=False))
         return sign_codes(mat, nbits=nbits)
 
@@ -230,16 +232,9 @@ def phash_near_dup_pairs(ds, code_col: str = "phash",
     """
     import pyarrow.compute as pc
 
-    from ..functions.hashing import hash64_str_array
-
-    # ids must stay NON-NEGATIVE: a < 0 is the dropped-bucket marker
-    # channel (split_candidates), so a sign-bit hashed id would be
-    # silently misread as a marker. 63-bit ids keep collisions ~2^-63.
-    sign_off = np.uint64(0x7FFFFFFFFFFFFFFF)
-
     def add_id64(batch: pa.Table) -> pa.Table:
-        id64 = to_int64(hash64_str_array(batch[id_col].to_pylist()) & sign_off)
-        return pa.table({code_col: batch[code_col], "__id64": id64})
+        return pa.table({code_col: batch[code_col],
+                         "__id64": str_id64(batch[id_col].to_pylist())})
 
     skinny = ds.map_batches(add_id64, batch_format="pyarrow")
     pairs = hamming_near_dup_pairs(skinny, code_col=code_col,
@@ -256,8 +251,7 @@ def phash_near_dup_pairs(ds, code_col: str = "phash",
     ref = ray.put(hit64)
 
     def probe(batch: pa.Table) -> pa.Table:
-        id64 = pa.array(to_int64(
-            hash64_str_array(batch[id_col].to_pylist()) & sign_off))
+        id64 = pa.array(str_id64(batch[id_col].to_pylist()))
         t = pa.table({id_col: batch[id_col], "__id64": id64})
         return t.filter(pc.is_in(t["__id64"], value_set=ray.get(ref)))
 
