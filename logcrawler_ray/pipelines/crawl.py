@@ -38,6 +38,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..functions.hashing import hash64_str, splitmix64
 from ..functions.urlnorm import canonicalize, host_hash, host_of
@@ -210,35 +211,57 @@ class CrawlState:
         return obj
 
 
+# A URL matching this RE2 pattern is a FIXED POINT of ``canonicalize``
+# (lowercase http/https scheme, lowercase host, no port/userinfo/fragment,
+# no empty/"."/".." path segments, no trailing slash except the bare root,
+# non-empty query if any) — and the same extraction yields its host and
+# its path-with-query exactly as ``cu.split(host, 1)[1]`` would. Verified
+# by fuzz against canonicalize in tests/test_crawl.py::test_route_links_fast_path.
+_CANONICAL_URL_RE = (
+    r'^(?P<url>https?://(?P<host>[a-z0-9](?:[a-z0-9.-]*[a-z0-9])?)'
+    r'(?P<path>(?:/|(?:/[A-Za-z0-9_~%+-][A-Za-z0-9._~%+-]*)+)(?:\?[^#]+)?))$')
+
+
 def _route_links(t: pa.Table, *, seed: int, mode: str, n_shards: int,
                  max_depth: int) -> pa.Table:
     """Per-link canonicalize + priority + shard routing, run INSIDE the wave
-    pipeline (map_batches) so the per-URL hash/string work parallelizes;
-    shards order-extract their slices (run_wave step 4). canonicalize is
-    per-link Python (branchy dot-segment/scheme logic), but the hash work
-    — priority and shard id — is ONE vectorized pass over the batch."""
+    pipeline (map_batches) so the per-URL hash/string work parallelizes.
+
+    The explode is Arrow-native (``list_flatten`` + ``list_parent_indices``)
+    and already-canonical URLs — the overwhelming majority of a real crawl's
+    links — are validated and split host/path in ONE vectorized RE2 pass
+    (``_CANONICAL_URL_RE``); only the non-canonical remainder pays the
+    branchy per-URL Python ``canonicalize``. Priority and shard id are one
+    vectorized hash pass, byte-identical to the serial executor's scalar
+    arithmetic (uint64 splitmix + mod)."""
     from ..functions.hashing import hash64_str_array
 
-    seqs: list[int] = []
-    idxs: list[int] = []
-    urls: list[str] = []
-    hosts: list[str] = []
-    paths: list[str] = []
-    depths: list[int] = []
-    for s, d, ls in zip(t["seq"].to_pylist(), t["depth"].to_pylist(),
-                        t["links"].to_pylist()):
-        nd = d + 1
-        if nd > max_depth:
-            continue
-        for i, link in enumerate(ls or []):
-            cu = canonicalize(link)
+    nd = pc.add(t["depth"], 1)
+    t2 = t.set_column(t.schema.get_field_index("depth"), "depth", nd)
+    t2 = t2.filter(pc.less_equal(nd, max_depth))
+    links = t2["links"].combine_chunks()
+    flat = pc.list_flatten(links)
+    parent = pc.list_parent_indices(links).to_numpy()
+    lens = pc.list_value_length(links).fill_null(0).to_numpy().astype(np.int64)
+    starts = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=starts[1:])
+    idx = (np.arange(len(flat), dtype=np.int64) - starts[parent]).astype(np.int32)
+    parent_idx = pa.array(parent)
+    seqs = pc.take(t2["seq"], parent_idx)
+    depths = pc.cast(pc.take(t2["depth"], parent_idx), pa.int32())
+
+    m = pc.extract_regex(flat, pattern=_CANONICAL_URL_RE)
+    urls = flat.to_pylist()
+    hosts = m.field("host").to_pylist()
+    paths = m.field("path").to_pylist()
+    if m.null_count:  # slow path: the few non-canonical spellings
+        for i in np.flatnonzero(
+                ~pc.is_valid(m).to_numpy(zero_copy_only=False)):
+            cu = canonicalize(urls[i])
             host = host_of(cu)
-            seqs.append(s)
-            idxs.append(i)
-            urls.append(cu)
-            hosts.append(host)
-            paths.append(cu.split(host, 1)[1] or "/")
-            depths.append(nd)
+            urls[i] = cu
+            hosts[i] = host
+            paths[i] = cu.split(host, 1)[1] or "/"
     # vectorized priority (url_priority's exact arithmetic, batched) and
     # shard routing (host_hash % n_shards, batched)
     if mode == "fifo":
@@ -250,12 +273,12 @@ def _route_links(t: pa.Table, *, seed: int, mode: str, n_shards: int,
     shard = (hash64_str_array(hosts, seed=0x05757)
              % np.uint64(n_shards)).astype(np.int32)
     return pa.table({
-        "seq": pa.array(seqs, pa.int64()),
-        "idx": pa.array(idxs, pa.int32()),
+        "seq": pc.cast(seqs, pa.int64()),
+        "idx": pa.array(idx),
         "url": pa.array(urls, pa.string()),
         "host": pa.array(hosts, pa.string()),
         "path": pa.array(paths, pa.string()),
-        "depth": pa.array(depths, pa.int32()),
+        "depth": depths,
         "priority": pa.array(prio),
         "shard": pa.array(shard),
     })

@@ -268,3 +268,71 @@ def test_fresh_start_wipes_stale_run_state(ray_session, serial_run, tmp_path):
     tab = eng3.store.read_table(columns=["image_id", "phash"])
     got = {(r["image_id"], r["phash"]) for r in tab.to_pylist()}
     assert got == {(r["image_id"], r["phash"]) for r in sc.rows}
+
+
+def test_route_links_fast_path():
+    """_CANONICAL_URL_RE fast path == canonicalize fixed points (fuzz).
+
+    Two properties, over adversarial fuzz strings: (1) every URL the RE2
+    fast path accepts is a byte-for-byte fixed point of ``canonicalize``
+    with host/path extracted exactly as the slow path would; (2) the full
+    ``_route_links`` output is identical to a scalar per-link reference.
+    """
+    import random
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from logcrawler_ray.functions.urlnorm import canonicalize, host_of
+    from logcrawler_ray.pipelines.crawl import _CANONICAL_URL_RE, _route_links
+
+    rng = random.Random(0xC0FFEE)
+    fuzz = []
+    for _ in range(4000):
+        n = rng.randint(1, 30)
+        fuzz.append("".join(rng.choice("abcXYZ09._~%+-/?#:@ ") for _ in range(n)))
+        fuzz.append("http://" + "".join(rng.choice("abc09.-/?#.:xyz") for _ in range(n)))
+        fuzz.append("http://" + "".join(rng.choice("ab09./?=&") for _ in range(n)))
+    fuzz += ["http://h.test/x?", "http://h.test/", "http://h.test",
+             "HTTP://H.test/a", "http://h.test:80/a", "http://h.test/a/../b",
+             "http://h.test//a", "http://h.test/a/", "http://u@h.test/a",
+             "http://h.test/a?q=1#f", "http://h.test/a?q=1"]
+    m = pc.extract_regex(pa.array(fuzz), pattern=_CANONICAL_URL_RE)
+    n_fast = 0
+    for u, s in zip(fuzz, m):
+        if not s.is_valid:
+            continue
+        n_fast += 1
+        cu = canonicalize(u)
+        host = host_of(cu)
+        assert cu == u, f"fast path accepted non-fixed-point {u!r} -> {cu!r}"
+        assert s["host"].as_py() == host
+        assert s["path"].as_py() == (cu.split(host, 1)[1] or "/")
+    assert n_fast > 50  # the fast path actually fires
+
+    # full-function equivalence vs a scalar reference on mixed links
+    # (empty-host spellings like "http:///a" crash old and new code the
+    # same way — the crawl never produces them; keep them out of the fuzz)
+    def usable(u):
+        try:
+            return "://" in u and host_of(canonicalize(u)) != ""
+        except ValueError:
+            return False
+
+    links = [[u for u in fuzz[i:i + 3] if usable(u)] or None
+             for i in range(0, 300, 3)]
+    t = pa.Table.from_pylist(
+        [{"seq": i, "depth": i % 3, "links": ls} for i, ls in enumerate(links)],
+        schema=pa.schema([("seq", pa.int64()), ("depth", pa.int64()),
+                          ("links", pa.list_(pa.string()))]))
+    got = _route_links(t, seed=42, mode="priority", n_shards=5, max_depth=2)
+    exp_rows = []
+    for s, d, ls in zip(t["seq"].to_pylist(), t["depth"].to_pylist(),
+                        t["links"].to_pylist()):
+        if d + 1 > 2:
+            continue
+        for i, link in enumerate(ls or []):
+            cu = canonicalize(link)
+            exp_rows.append((s, i, cu, host_of(cu), d + 1))
+    assert [(r["seq"], r["idx"], r["url"], r["host"], r["depth"])
+            for r in got.to_pylist()] == exp_rows
