@@ -707,8 +707,11 @@ def q21_minhash_simhash_dups(sf_dir: str):
     """BOTH sketch-based near-dup paths in one gate (merged former q22 so
     each stays inside the driver's 50-entry grading window): MinHash+LSH
     candidates verified by exact shingle Jaccard >= 0.2, and SimHash pairs
-    at Hamming <= 12, distinguished by ``method`` (score = jaccard or
-    hamming). Deterministic; no SQL oracle (sketch-based)."""
+    at Hamming <= 3 — the published 64-bit simhash near-dup threshold
+    (Manku, Jain & Das Sarma, WWW'07), which also keeps the pigeonhole
+    blocks 16 bits wide so recall is exact with no hot-bucket drops —
+    distinguished by ``method`` (score = jaccard or hamming).
+    Deterministic; no SQL oracle (sketch-based)."""
     from .stages.dedup_text import (minhash_lsh_candidates,
                                     simhash_near_dup_pairs,
                                     verify_jaccard_pairs)
@@ -718,7 +721,7 @@ def q21_minhash_simhash_dups(sf_dir: str):
     mh = verify_jaccard_pairs(ds, cands, threshold=0.2)
     mh = pd.DataFrame({"method": "minhash_lsh", "a": mh["a"], "b": mh["b"],
                        "score": mh["jaccard"].round(4)})
-    sh = simhash_near_dup_pairs(ds, max_hamming=12)
+    sh = simhash_near_dup_pairs(ds, max_hamming=3)
     sh = pd.DataFrame({"method": "simhash", "a": sh["a"], "b": sh["b"],
                        "score": sh["hamming"].astype(float)})
     out = pd.concat([mh, sh], ignore_index=True)
