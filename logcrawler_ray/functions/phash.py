@@ -43,6 +43,8 @@ def area_resize(gray: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     """(N, h, w) float -> (N, out_h, out_w) via area-mean pooling.
 
     Works for arbitrary h, w (bins via reduceat), fully vectorized over N.
+    (A BLAS-matmul variant was measured SLOWER single-threaded — the shape
+    Ray tasks run in — so the reduceat pass stays.)
     """
     n, h, w = gray.shape
     row_edges = (np.arange(out_h) * h) // out_h
