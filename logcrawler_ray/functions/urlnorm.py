@@ -53,6 +53,18 @@ def host_of(url: str) -> str:
     return (urlsplit(url).hostname or "").lower()
 
 
+def path_of(cu: str) -> str:
+    """Path-with-query of a CANONICALIZED url, by positional slice.
+
+    ``cu.split(host, 1)[1]`` — the obvious spelling — is wrong whenever the
+    host string also occurs earlier in the url (host ``t`` matches inside
+    ``http://``) or the netloc carries an explicit non-default port; the
+    path always starts at the first ``/`` after ``://`` in a canonical url
+    (``canonicalize`` guarantees one exists).
+    """
+    return cu[cu.index("/", cu.index("://") + 3):]
+
+
 def host_hash(host: str) -> int:
     """Stable uint64 host hash — THE partition key of the whole engine.
 

@@ -41,7 +41,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..functions.hashing import hash64_str, splitmix64
-from ..functions.urlnorm import canonicalize, host_hash, host_of
+from ..functions.urlnorm import canonicalize, host_hash, host_of, path_of
 from ..sources.hosts import SyntheticWeb
 from ..sources.store import ImageStore
 from ..stages.decode import DecodeStats
@@ -150,7 +150,7 @@ class CrawlState:
         for url, depth in zip(raw_urls, depths):
             cu = canonicalize(url)
             host = host_of(cu)
-            path = cu.split(host, 1)[1] or "/"
+            path = path_of(cu)
             per_shard[self.shard_of(host)].append(
                 (cu, host, path, depth,
                  url_priority(cu, self.cfg.seed, self.cfg.priority_mode)))
@@ -212,14 +212,17 @@ class CrawlState:
 
 
 # A URL matching this RE2 pattern is a FIXED POINT of ``canonicalize``
-# (lowercase http/https scheme, lowercase host, no port/userinfo/fragment,
-# no empty/"."/".." path segments, no trailing slash except the bare root,
-# non-empty query if any) — and the same extraction yields its host and
-# its path-with-query exactly as ``cu.split(host, 1)[1]`` would. Verified
-# by fuzz against canonicalize in tests/test_crawl.py::test_route_links_fast_path.
+# (no surrounding whitespace, lowercase http/https scheme, lowercase host,
+# no port/userinfo/fragment, no empty/"."/".." path segments, no trailing
+# slash except the bare root, non-empty whitespace-free query if any — a
+# query WITH whitespace can be a fixed point too, but is routed to the slow
+# path so the char classes stay strictly whitespace-free) — and the same
+# extraction yields its host and its path-with-query exactly as
+# ``urlnorm.host_of``/``urlnorm.path_of`` would. Verified by fuzz against
+# canonicalize in tests/test_crawl.py::test_route_links_fast_path.
 _CANONICAL_URL_RE = (
     r'^(?P<url>https?://(?P<host>[a-z0-9](?:[a-z0-9.-]*[a-z0-9])?)'
-    r'(?P<path>(?:/|(?:/[A-Za-z0-9_~%+-][A-Za-z0-9._~%+-]*)+)(?:\?[^#]+)?))$')
+    r'(?P<path>(?:/|(?:/[A-Za-z0-9_~%+-][A-Za-z0-9._~%+-]*)+)(?:\?[^#\s]+)?))$')
 
 
 def _route_links(t: pa.Table, *, seed: int, mode: str, n_shards: int,
@@ -258,10 +261,9 @@ def _route_links(t: pa.Table, *, seed: int, mode: str, n_shards: int,
         for i in np.flatnonzero(
                 ~pc.is_valid(m).to_numpy(zero_copy_only=False)):
             cu = canonicalize(urls[i])
-            host = host_of(cu)
             urls[i] = cu
-            hosts[i] = host
-            paths[i] = cu.split(host, 1)[1] or "/"
+            hosts[i] = host_of(cu)
+            paths[i] = path_of(cu)
     # vectorized priority (url_priority's exact arithmetic, batched) and
     # shard routing (host_hash % n_shards, batched)
     if mode == "fifo":

@@ -286,17 +286,25 @@ def test_route_links_fast_path():
     from logcrawler_ray.functions.urlnorm import canonicalize, host_of
     from logcrawler_ray.pipelines.crawl import _CANONICAL_URL_RE, _route_links
 
+    from logcrawler_ray.functions.urlnorm import path_of
+
     rng = random.Random(0xC0FFEE)
     fuzz = []
     for _ in range(4000):
         n = rng.randint(1, 30)
         fuzz.append("".join(rng.choice("abcXYZ09._~%+-/?#:@ ") for _ in range(n)))
         fuzz.append("http://" + "".join(rng.choice("abc09.-/?#.:xyz") for _ in range(n)))
-        fuzz.append("http://" + "".join(rng.choice("ab09./?=&") for _ in range(n)))
+        fuzz.append("http://" + "".join(rng.choice("ab09./?=& \t") for _ in range(n)))
+        # hosts that collide with the scheme prefix (h/t/p/htp/http) — the
+        # split(host, 1) path bug class — plus whitespace-in-query spellings
+        fuzz.append("http://" + "".join(rng.choice("htp") for _ in range(rng.randint(1, 5)))
+                    + rng.choice(["/x", "/x?q=1", "/x?q=1 ", "/x?q= 1", "/", ""]))
     fuzz += ["http://h.test/x?", "http://h.test/", "http://h.test",
              "HTTP://H.test/a", "http://h.test:80/a", "http://h.test/a/../b",
              "http://h.test//a", "http://h.test/a/", "http://u@h.test/a",
-             "http://h.test/a?q=1#f", "http://h.test/a?q=1"]
+             "http://h.test/a?q=1#f", "http://h.test/a?q=1",
+             "http://t/x", "http://http/x?q=1 ", "http://h.test/a?q=1\t",
+             "http://h.test/a?q=1\n", "http://h.test:8080/a?q=1"]
     m = pc.extract_regex(pa.array(fuzz), pattern=_CANONICAL_URL_RE)
     n_fast = 0
     for u, s in zip(fuzz, m):
@@ -304,10 +312,9 @@ def test_route_links_fast_path():
             continue
         n_fast += 1
         cu = canonicalize(u)
-        host = host_of(cu)
         assert cu == u, f"fast path accepted non-fixed-point {u!r} -> {cu!r}"
-        assert s["host"].as_py() == host
-        assert s["path"].as_py() == (cu.split(host, 1)[1] or "/")
+        assert s["host"].as_py() == host_of(cu)
+        assert s["path"].as_py() == path_of(cu)
     assert n_fast > 50  # the fast path actually fires
 
     # full-function equivalence vs a scalar reference on mixed links
@@ -333,6 +340,6 @@ def test_route_links_fast_path():
             continue
         for i, link in enumerate(ls or []):
             cu = canonicalize(link)
-            exp_rows.append((s, i, cu, host_of(cu), d + 1))
-    assert [(r["seq"], r["idx"], r["url"], r["host"], r["depth"])
+            exp_rows.append((s, i, cu, host_of(cu), path_of(cu), d + 1))
+    assert [(r["seq"], r["idx"], r["url"], r["host"], r["path"], r["depth"])
             for r in got.to_pylist()] == exp_rows
