@@ -43,7 +43,7 @@ import pyarrow.compute as pc
 from ..functions.hashing import hash64_str, splitmix64
 from ..functions.urlnorm import canonicalize, host_hash, host_of, path_of
 from ..sources.hosts import SyntheticWeb
-from ..sources.store import ImageStore
+from ..sources.store import ImageStore, write_fragment
 from ..stages.decode import DecodeStats
 from ..stages.fetch import FetchWorker
 from ..state.checkpoint import CheckpointDir
@@ -325,7 +325,7 @@ class WaveStage:
             ["links", "fetch_ok", "decode_ok"])
         if img.num_rows:
             min_seq = int(np.min(img["seq"].to_numpy()))
-            pq.write_table(
+            write_fragment(
                 img, os.path.join(self.tmp_dir, f"part-{min_seq:010d}.parquet"),
                 compression=self.compression)
         return _route_links(decoded.select(["seq", "depth", "links"]),

@@ -21,7 +21,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..sources.store import ImageStore
+from ..sources.store import ImageStore, write_fragment
 from ..stages.decode import DecodeStats
 from ..stages.dedup import dedup_exact
 
@@ -108,7 +108,7 @@ class IngestStage:
             # deterministic per-batch file name (batches partition the ids,
             # so min id is unique per batch; retried tasks overwrite)
             tag = format(int(hash64_str(min(ok["image_id"].to_pylist()))), "016x")
-            pq.write_table(ok, os.path.join(self.tmp_dir, f"part-{tag}.parquet"),
+            write_fragment(ok, os.path.join(self.tmp_dir, f"part-{tag}.parquet"),
                            compression=self.compression)
         if not ok.num_rows:
             if self.emit == "partials":
@@ -420,7 +420,7 @@ def neardup_pass(store: ImageStore, base_pid: str, pid: str | None = None, *,
     def write_file(g: pa.Table) -> pa.Table:
         arr = pc.unique(g["image_id"].combine_chunks())
         arr = arr.take(pc.sort_indices(arr))
-        pq.write_table(pa.table({"image_id": arr}), path)
+        write_fragment(pa.table({"image_id": arr}), path)
         return pa.table({"n": pa.array([len(arr)], pa.int64())})
 
     wrote = (losers_ds.map_batches(

@@ -219,7 +219,7 @@ def exact_losers_files(skinny_ds, key: str, order_col: str, part_col: str,
     """
     import os
 
-    import pyarrow.parquet as pq
+    from ..sources.store import write_fragment
 
     dups_ds = dup_winners(skinny_ds, key, order_col) if dups is None else dups
     global _last_driver_rows
@@ -270,7 +270,7 @@ def exact_losers_files(skinny_ds, key: str, order_col: str, part_col: str,
         arr = pc.unique(g[order_col].combine_chunks())
         arr = arr.take(pc.sort_indices(arr))
         path = os.path.join(out_dir, f"losers-{part}.parquet")
-        pq.write_table(pa.table({order_col: arr}), path)
+        write_fragment(pa.table({order_col: arr}), path)
         return pa.table({part_col: [part], "path": [path],
                          "n": pa.array([len(arr)], pa.int64())})
 
