@@ -119,14 +119,24 @@ def asof_join(left_ds, right_ds, *, on: str, by: str, direction: str = "backward
         return finish(out)
 
     def per_group(df: pd.DataFrame) -> pa.Table:
+        # a partition fed by blocks of only one side can arrive without the
+        # other side's columns (schemas are null-unified only when mixed):
+        # no left columns -> no left rows; missing right extras -> no right
+        # rows (the right-empty branch below null-fills them)
+        have = set(df.columns)
+        if not set(l_names) <= have:
+            return empty_out()
         left = df.loc[df["__side"] == 0, l_names].sort_values(on, kind="mergesort")
         if left.empty:
             return empty_out()
         for c, dt in l_dtypes.items():
             if left[c].dtype != dt:
                 left[c] = left[c].astype(dt)
-        right = df.loc[df["__side"] == 1,
-                       [by, on] + r_cols].sort_values(on, kind="mergesort")
+        if not set([by, on] + r_cols) <= have:
+            right = pd.DataFrame(columns=[by, on] + r_cols)
+        else:
+            right = df.loc[df["__side"] == 1,
+                           [by, on] + r_cols].sort_values(on, kind="mergesort")
         if right.empty:
             out = left.copy()
             out[f"{on}{suffix}"] = pd.Series(
