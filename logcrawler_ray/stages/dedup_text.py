@@ -432,17 +432,29 @@ def ngram_jaccard_pairs(ds, threshold: float = 0.2, ngram: int = 3,
             out_zb.append(rz[tri[1]])
         cols: dict = {}
         if out_a:
+            a = np.concatenate(out_a)
+            b = np.concatenate(out_b)
+            za = np.concatenate(out_za)
+            zb = np.concatenate(out_zb)
+            # size-ratio prefilter: jaccard is at most min(sz)/max(sz)
+            # (reached when the smaller set is a subset), so a pair whose
+            # sizes differ by more than 1/threshold can NEVER pass. sz_a/
+            # sz_b are global doc properties carried on every row, so the
+            # decision is identical in every __g group — surviving pairs
+            # keep exact global counts; this drops only provably-dead rows
+            # before the pk shuffle.
+            keep = np.minimum(za, zb).astype(np.float64) >= (
+                threshold * np.maximum(za, zb))
+            a, b, za, zb = a[keep], b[keep], za[keep], zb[keep]
             # pack (a, b) into ONE int64 key and PARTIAL-count within the
             # group: the (a,b) shuffle then moves deduplicated skinny rows
             # and aggregates int columns (doc ids fit 31 bits); sizes are
             # functionally dependent on the pair, any partial's value works
-            packed = (np.concatenate(out_a) * np.int64(1 << 32)
-                      + np.concatenate(out_b))
+            packed = a * np.int64(1 << 32) + b
             uniq, first, cnt = np.unique(packed, return_index=True,
                                          return_counts=True)
             cols = {"pk": uniq, "n": cnt.astype(np.int64),
-                    "sz_a": np.concatenate(out_za)[first],
-                    "sz_b": np.concatenate(out_zb)[first]}
+                    "sz_a": za[first], "sz_b": zb[first]}
         else:
             cols = {k: np.array([], dtype=np.int64)
                     for k in ("pk", "n", "sz_a", "sz_b")}
@@ -454,15 +466,40 @@ def ngram_jaccard_pairs(ds, threshold: float = 0.2, ngram: int = 3,
                 cols.items(), [-1 - g, dropped, 0, 0])}
         return pa.table({k: pa.array(v, pa.int64()) for k, v in cols.items()})
 
-    from ray.data.aggregate import Max, Sum
+    def coarse_pk(t: pa.Table) -> pa.Table:
+        # marker rows (pk = -1-g, g < 64) land in bucket 63-g via two's
+        # complement — still in [0, 64)
+        import pyarrow.compute as pc
+
+        return t.append_column("__h", pc.cast(
+            pc.bit_wise_and(t["pk"], 63), pa.int32()))
+
+    def combine_pairs(df: pd.DataFrame) -> pa.Table:
+        # the global per-pair combine, COARSE-bucketed on pk (a native
+        # groupby("pk").aggregate pays per-GROUP cost at ~1M mostly-unique
+        # pair keys — measured 19 s of a 25 s run at sf0.1; this reduceat
+        # over 64 buckets does the same sum in ~1 s)
+        pk = df["pk"].to_numpy()
+        n = df["n"].to_numpy()
+        sa = df["sz_a"].to_numpy()
+        sb = df["sz_b"].to_numpy()
+        order = np.argsort(pk, kind="stable")
+        pk, n, sa, sb = pk[order], n[order], sa[order], sb[order]
+        starts = np.concatenate(
+            [[0], np.nonzero(np.diff(pk))[0] + 1])
+        return pa.table({
+            "pk": pa.array(pk[starts], pa.int64()),
+            "n_common": pa.array(np.add.reduceat(n, starts), pa.int64()),
+            "sz_a": pa.array(sa[starts], pa.int64()),
+            "sz_b": pa.array(sb[starts], pa.int64())})
 
     common = (rows.map_batches(coarse, batch_format="pyarrow")
               .groupby("__g")
               .map_groups(functools.partial(group_pairs, cap=max_shingle_df),
                           batch_format="pandas")
-              .groupby("pk").aggregate(Sum("n", alias_name="n_common"),
-                                       Max("sz_a", alias_name="sz_a"),
-                                       Max("sz_b", alias_name="sz_b")))
+              .map_batches(coarse_pk, batch_format="pyarrow")
+              .groupby("__h")
+              .map_groups(combine_pairs, batch_format="pandas"))
 
     def jaccard_filter(t: pa.Table) -> pa.Table:
         pk = t["pk"].to_numpy()
