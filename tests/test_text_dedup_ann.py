@@ -317,6 +317,45 @@ def test_ngram_jaccard_exact_matches_bruteforce(ray_session):
     assert got.attrs["dropped_shingles"] == 0
 
 
+def test_ngram_jaccard_size_ratio_prefilter_is_exact(ray_session):
+    """The size-ratio prefilter (min(sz) >= threshold*max(sz)) must change
+    nothing: docs with wildly different lengths force it to fire, and a
+    subset pair at EXACTLY the boundary (jaccard == threshold, sizes at
+    the ratio limit) must survive."""
+    import itertools
+
+    import ray.data as rd
+
+    from logcrawler_ray.stages.dedup_text import ngram_jaccard_pairs
+
+    rng = np.random.default_rng(17)
+    vocab = [f"w{i}" for i in range(30)]
+    # lengths from 5 to 300 words -> shingle-set sizes spanning ~60x,
+    # so most cross-length pairs are prefilter-dead
+    docs = [" ".join(rng.choice(vocab, n))
+            for n in (5, 8, 40, 60, 150, 300, 7, 90)]
+    # boundary pair: A's 3 shingles are the first 3 of B's 12
+    # (consecutive run of 14 DISTINCT words => every 3-gram distinct),
+    # jaccard = 3/12 = 0.25 == threshold
+    run = [f"u{i}" for i in range(14)]
+    docs.append(" ".join(run[:5]))    # 3 shingles
+    docs.append(" ".join(run))        # 12 shingles, superset
+    df = pd.DataFrame({"doc_id": np.arange(len(docs), dtype=np.int64),
+                       "text": docs})
+    got = ngram_jaccard_pairs(rd.from_pandas(df), threshold=0.25)
+
+    sets = {i: set(T.shingle_hashes(t, 3).tolist()) for i, t in enumerate(docs)}
+    expect = []
+    for a, b in itertools.combinations(range(len(docs)), 2):
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        j = round(inter / union, 4) if union else 1.0
+        if j >= 0.25:
+            expect.append((a, b, j))
+    assert [(int(r.a), int(r.b), r.jaccard) for r in got.itertuples()] == expect
+    assert (8, 9, 0.25) in expect   # the boundary pair survived
+
+
 def test_ngram_jaccard_df_cap_raises_or_reports(ray_session):
     """A hot shingle over max_shingle_df must RAISE by default (exactness
     broken) and report the dropped count in drop mode — round-2 advice:
