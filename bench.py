@@ -102,7 +102,7 @@ def bench_crawl() -> dict:
 
 QUERY_SAMPLE = ["q01_pricing_summary", "q12_asof_click_purchase", "q17_top_tokens",
                 "q14_doc_dedup_exact", "q18_ann_topk", "q31_interarrival",
-                "q21_minhash_simhash_dups"]
+                "q21_minhash_simhash_dups", "q53_ngram_jaccard"]
 
 
 def bench_queries() -> dict:
