@@ -480,6 +480,9 @@ def ngram_jaccard_pairs(ds, threshold: float = 0.2, ngram: int = 3,
         # pair keys — measured 19 s of a 25 s run at sf0.1; this reduceat
         # over 64 buckets does the same sum in ~1 s)
         pk = df["pk"].to_numpy()
+        if len(pk) == 0:  # empty sort-boundary block
+            e = pa.array([], pa.int64())
+            return pa.table({"pk": e, "n_common": e, "sz_a": e, "sz_b": e})
         n = df["n"].to_numpy()
         sa = df["sz_a"].to_numpy()
         sb = df["sz_b"].to_numpy()
