@@ -35,18 +35,6 @@ DEFAULT_MAX_BROADCAST = 5_000_000
 _last_driver_rows: int = 0
 
 
-def _dup_keys_only(agg_ds, count_col: str = "__n"):
-    """Distributed ``__n > 1`` filter over a groupby aggregate Dataset —
-    applied BEFORE any driver collect, so the driver sees one row per
-    DUPLICATED key, not one row per distinct key (at 10^10 mostly-unique
-    rows the difference is ~10^10 collected rows vs the duplicate count)."""
-
-    def only_dups(t: pa.Table) -> pa.Table:
-        return t.filter(pc.greater(t[count_col], 1))
-
-    return agg_ds.map_batches(only_dups, batch_format="pyarrow")
-
-
 def loser_partials(t: pa.Table, key: str, order_col: str) -> pa.Table:
     """Per-batch loser partials: (key, __o, __n) rows — each key's
     (min, count) plus ``__n = -1`` marker rows for BATCH-LOCAL losers (a
@@ -94,24 +82,21 @@ def exact_losers(skinny_ds, key: str, order_col: str) -> frozenset:
     vectorized.
 
     Driver memory is O(distinct keys per block summed + duplicates); the
-    guard falls back to Ray's distributed aggregate + a broadcast-probe
-    scan past DEFAULT_MAX_BROADCAST partial rows.
+    guard falls back to the distributed two-phase combine + a
+    broadcast-probe scan past DEFAULT_MAX_BROADCAST partial rows.
     """
     import functools
 
     import ray
-    from ray.data.aggregate import Count, Min
 
     partial = functools.partial(loser_partials, key=key, order_col=order_col)
     partial_df = (skinny_ds.map_batches(partial, batch_format="pyarrow")
                   .limit(DEFAULT_MAX_BROADCAST + 1).to_pandas())
     if len(partial_df) > DEFAULT_MAX_BROADCAST:
-        # scale path: distributed aggregate, DUPLICATES-ONLY filtered
-        # distributed, then one broadcast-probe scan — the driver collects
-        # O(duplicate keys), never the full distinct-key aggregate
-        agg_ds = skinny_ds.groupby(key).aggregate(
-            Min(order_col, alias_name="__min"), Count(alias_name="__n"))
-        dups = _dup_keys_only(agg_ds).to_pandas()
+        # scale path: distributed two-phase combine, DUPLICATES-ONLY
+        # filtered distributed, then one broadcast-probe scan — the driver
+        # collects O(duplicate keys), never the full distinct-key aggregate
+        dups = dup_winners(skinny_ds, key, order_col).to_pandas()
         global _last_driver_rows
         _last_driver_rows = len(dups)
         if dups.empty:
@@ -134,16 +119,43 @@ def exact_losers(skinny_ds, key: str, order_col: str) -> frozenset:
     return merge_loser_partials(partial_df, key)
 
 
-def dup_winners(skinny_ds, key: str, order_col: str):
+def dup_winners(skinny_ds, key: str, order_col: str, num_buckets: int = 64):
     """MATERIALIZED Dataset of ``(key, __min, __n)`` for duplicated keys
     only. The ``__n > 1`` filter runs distributed before anything reaches
     the driver; the materialized result is O(duplicate keys) in the object
-    store (bounded, reusable by both the broadcast and the join path)."""
-    from ray.data.aggregate import Count, Min
+    store (bounded, reusable by both the broadcast and the join path).
 
-    agg_ds = skinny_ds.groupby(key).aggregate(
-        Min(order_col, alias_name="__min"), Count(alias_name="__n"))
-    return _dup_keys_only(agg_ds).materialize()
+    Two-phase combine rather than a native ``groupby(key).aggregate``:
+    Ray's aggregate pays per-GROUP cost, and here key cardinality is the
+    corpus (measured ~17 us/distinct key on the q53 pair combine — 19 s
+    for 1M keys). Per-batch pandas partials -> ONE coarse-bucket shuffle
+    (so the exchange carries one row per distinct key per block) -> a
+    C-level merge per bucket with the duplicates-only filter fused in."""
+
+    def batch_partials(t: pa.Table) -> pa.Table:
+        df = t.select([key, order_col]).to_pandas()
+        g = df.groupby(key, as_index=False, sort=False).agg(
+            __min=(order_col, "min"), __n=(order_col, "size"))
+        g["__n"] = g["__n"].astype(np.int64)
+        out = pa.Table.from_pandas(g, preserve_index=False)
+        return out.append_column("__b", _bucket_of(out[key], num_buckets))
+
+    def merge_bucket(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:  # empty sort-boundary block
+            return pa.Table.from_pandas(
+                pd.DataFrame({key: df[key], "__min": df["__min"],
+                              "__n": pd.Series([], dtype=np.int64)}),
+                preserve_index=False)
+        g = df.groupby(key, as_index=False, sort=False).agg(
+            __min=("__min", "min"), __n=("__n", "sum"))
+        g = g[g["__n"].to_numpy() > 1]
+        g["__n"] = g["__n"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (skinny_ds.map_batches(batch_partials, batch_format="pyarrow")
+            .groupby("__b")
+            .map_groups(merge_bucket, batch_format="pandas")
+            .materialize())
 
 
 def exact_losers_by(skinny_ds, key: str, order_col: str,

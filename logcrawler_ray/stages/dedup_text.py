@@ -136,8 +136,6 @@ def minhash_lsh_candidates(ds, text_col: str = "text", id_col: str = "doc_id",
     """
     import functools
 
-    from ray.data.aggregate import Count
-
     def explode(batch: pa.Table) -> pa.Table:
         sigs = minhash_batch(batch[text_col].to_pylist(), k=k, ngram=ngram)
         return lsh_band_rows(batch[id_col].to_numpy(), sigs, bands)
@@ -147,9 +145,11 @@ def minhash_lsh_candidates(ds, text_col: str = "text", id_col: str = "doc_id",
         functools.partial(band_candidate_pairs, max_bucket=max_bucket),
         batch_format="pandas",
     )
-    # distinct (a, b): native hash aggregate (no per-group pandas)
-    return (pairs.groupby(["a", "b"]).aggregate(Count(alias_name="__n"))
-            .select_columns(["a", "b"]))
+    # distinct (a, b): coarse-bucket combine (a native aggregate pays
+    # per-GROUP cost at pair-count cardinality — see hamming.distinct_pairs)
+    from .hamming import distinct_pairs
+
+    return distinct_pairs(pairs)
 
 
 def verify_jaccard_pairs(ds, pairs_ds, text_col: str = "text",

@@ -113,7 +113,7 @@ def test_dedup_within_batch():
 def test_loser_pass_driver_collects_only_duplicates(ray_session):
     """Unique-heavy corpus: the driver-side collect in the loser pass must
     be O(duplicate keys), never O(distinct keys) — the round-2 verdict's
-    top scale finding (stages/dedup.py `_dup_keys_only`)."""
+    top scale finding (stages/dedup.py `dup_winners`)."""
     import pyarrow as pa
     import ray.data as rd
 
