@@ -212,3 +212,37 @@ def test_neardup_pass_tiers_agree(ray_session, tmp_path):
         assert store.manifest(pid)["meta"]["tier"] == tier
     assert kept["driver"] == kept["distributed"]
     assert len(kept["driver"]) < len(ids)  # some near-dups actually dropped
+
+
+def test_distinct_pairs_matches_pandas_dedup(ray_session):
+    """distinct_pairs (coarse-bucket combine) == pandas drop_duplicates /
+    per-pair min, over seeded random inputs with full-range int64 ids,
+    duplicates across blocks, and a carry column."""
+    import ray.data as rd
+
+    from logcrawler_ray.stages.hamming import distinct_pairs
+
+    for seed in (0, 1, 2):
+        rng = np.random.default_rng(seed)
+        n = rng.integers(1, 4000)
+        # small id pool forces cross-block duplicate pairs
+        a = rng.integers(-2**62, 2**62, n)
+        b = rng.integers(0, 40, n).astype(np.int64)
+        h = rng.integers(0, 64, n).astype(np.int64)
+        df = pd.DataFrame({"a": a, "b": b, "hamming": h})
+        ds = rd.from_pandas(df).repartition(7)
+
+        got = (distinct_pairs(ds, carry="hamming").to_pandas()
+               .sort_values(["a", "b"]).reset_index(drop=True))
+        want = (df.groupby(["a", "b"], as_index=False)
+                .agg(hamming=("hamming", "min"))
+                .sort_values(["a", "b"]).reset_index(drop=True))
+        pd.testing.assert_frame_equal(
+            got[["a", "b", "hamming"]],
+            want[["a", "b", "hamming"]])
+
+        got2 = (distinct_pairs(ds.drop_columns(["hamming"])).to_pandas()
+                .sort_values(["a", "b"]).reset_index(drop=True))
+        want2 = (df[["a", "b"]].drop_duplicates()
+                 .sort_values(["a", "b"]).reset_index(drop=True))
+        pd.testing.assert_frame_equal(got2, want2)

@@ -231,3 +231,31 @@ def test_ingest_sharded_resume(ray_session, corpus_tab, tmp_path):
     assert pid2 == pid
     for p, t in mtimes.items():
         assert os.path.getmtime(store._manifest_path(p)) == t  # untouched
+
+
+def test_dup_winners_matches_pandas(ray_session):
+    """dup_winners (two-phase coarse-bucket combine) == the pandas
+    duplicates-only (key, min, count) over seeded random inputs, for both
+    int and STRING keys (string keys take the hash64 bucket path)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from logcrawler_ray.stages import dedup
+
+    for seed, as_str in ((0, False), (1, False), (2, True)):
+        rng = np.random.default_rng(seed)
+        n = int(rng.integers(1, 5000))
+        keys = rng.integers(0, max(1, n // 2), n).astype(np.int64)
+        order = rng.permutation(n).astype(np.int64)
+        df = pd.DataFrame({"phash": keys, "image_id": order})
+        if as_str:
+            df["phash"] = df["phash"].map("k{:06d}".format)
+        got = (dedup.dup_winners(rd.from_pandas(df).repartition(9),
+                                 "phash", "image_id")
+               .to_pandas().sort_values("phash").reset_index(drop=True))
+        want = (df.groupby("phash", as_index=False)
+                .agg(__min=("image_id", "min"), __n=("image_id", "size")))
+        want = (want[want["__n"] > 1].astype({"__n": np.int64})
+                .sort_values("phash").reset_index(drop=True))
+        pd.testing.assert_frame_equal(
+            got[["phash", "__min", "__n"]], want[["phash", "__min", "__n"]])
