@@ -4,11 +4,12 @@ The reference handles no skew — one giant log stalls its whole sequential
 run (SURVEY.md §4). At crawl scale the hot host is the canonical skewed
 key (the synthetic web plants one holding ~30% of rows), so:
 
-- ``salted_aggregate``: two-phase groupby for skewed keys. Phase 1 salts
-  each row's key with ``hash(row) % n_salts`` and aggregates on
-  (key, salt) — the hot key's rows now spread over n_salts reducers;
-  phase 2 merges the n_salts partials per key. Works for any algebraic
-  aggregate (sum/count/min/max) — exactly the mergeable-partial condition.
+- ``salted_aggregate``: two-phase groupby for skewed keys. Phase 1 is a
+  map-side combiner (each batch reduces to one partial row per key it
+  sees) — the hot key's volume collapses BEFORE any shuffle, which
+  subsumes explicit salting for algebraic aggregates
+  (sum/count/min/max — exactly the mergeable-partial condition); phase 2
+  merges partials under one coarse-bucket shuffle.
 
 - ``repartition_by_key``: explicit hash co-location of a key's rows
   (bucket column + sort-free groupby repartition), used before stages
@@ -20,50 +21,56 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..functions.hashing import hash64_str, splitmix64
 
-
-def salted_aggregate(ds, key: str, agg_cols: dict[str, str], n_salts: int = 16):
+def salted_aggregate(ds, key: str, agg_cols: dict[str, str],
+                     n_salts: int = 16, num_buckets: int = 64):
     """Two-phase skew-safe aggregation.
 
     agg_cols: {column: "sum"|"count"|"min"|"max"}. Returns a Dataset with
     one row per key and the same output column names.
+
+    Phase 1 is a map-side COMBINER: each batch reduces to one row per key
+    it sees (C-level pandas groupby), so a hot key contributes O(blocks)
+    partial rows instead of its full row count — for algebraic aggregates
+    the combiner subsumes explicit key salting (``n_salts`` is kept for
+    API compatibility; a salt bound only matters when phase 1 is itself a
+    shuffle). Phase 2 merges the partials under ONE coarse-bucket shuffle
+    — a native per-key ``groupby(key).aggregate`` pays per-GROUP cost
+    (~17-150 us/distinct key, the r3 CLAUDE.md lesson), the wrong shape
+    when key cardinality is the user/host population.
     """
-    from ray.data.aggregate import Count, Max, Min, Sum
+    import pandas as pd
 
-    def add_salt(t: pa.Table) -> pa.Table:
-        # salt from the first row's key hash + row counter: uniform, cheap,
-        # and DETERMINISTIC across runs (id(t) was not — round-1 hygiene)
-        first = t[key][0].as_py() if t.num_rows else 0
-        base = np.uint64(hash64_str(str(first)))
-        salt = (splitmix64(np.arange(t.num_rows, dtype=np.uint64) + base)
-                % np.uint64(n_salts)).astype(np.int32)
-        return t.append_column("__salt", pa.array(salt))
+    from .dedup import _bucket_of
 
-    phase1_aggs = []
-    for col, how in agg_cols.items():
-        if how == "sum":
-            phase1_aggs.append(Sum(col, alias_name=col))
-        elif how == "count":
-            phase1_aggs.append(Count(alias_name=col))
-        elif how == "min":
-            phase1_aggs.append(Min(col, alias_name=col))
-        elif how == "max":
-            phase1_aggs.append(Max(col, alias_name=col))
-        else:
+    _PARTIAL = {"sum": "sum", "count": "size", "min": "min", "max": "max"}
+    _MERGE = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
+    for how in agg_cols.values():
+        if how not in _PARTIAL:
             raise ValueError(how)
-    partial = ds.map_batches(add_salt, batch_format="pyarrow").groupby(
-        [key, "__salt"]).aggregate(*phase1_aggs)
 
-    phase2_aggs = []
-    for col, how in agg_cols.items():
-        if how in ("sum", "count"):
-            phase2_aggs.append(Sum(col, alias_name=col))
-        elif how == "min":
-            phase2_aggs.append(Min(col, alias_name=col))
-        else:
-            phase2_aggs.append(Max(col, alias_name=col))
-    return partial.groupby(key).aggregate(*phase2_aggs)
+    def partials(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        spec = {out: ((key if how == "count" else out), _PARTIAL[how])
+                for out, how in agg_cols.items()}
+        g = df.groupby(key, as_index=False, sort=False).agg(**spec)
+        for out, how in agg_cols.items():
+            if how == "count":
+                g[out] = g[out].astype(np.int64)
+        tab = pa.Table.from_pandas(g, preserve_index=False)
+        return tab.append_column("__kb", _bucket_of(tab[key], num_buckets))
+
+    def merge(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:  # empty sort-boundary block
+            cols = {key: df[key], **{out: df[out] for out in agg_cols}}
+            return pa.Table.from_pandas(pd.DataFrame(cols),
+                                        preserve_index=False)
+        spec = {out: (out, _MERGE[how]) for out, how in agg_cols.items()}
+        g = df.groupby(key, as_index=False, sort=False).agg(**spec)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (ds.map_batches(partials, batch_format="pyarrow")
+            .groupby("__kb").map_groups(merge, batch_format="pandas"))
 
 
 def repartition_by_key(ds, key_hash_col: str, n_buckets: int):
