@@ -2015,3 +2015,50 @@ def q15_doc_stats_by_lang(sf_dir: str):
     return _round(out, {"avg_chars": 4})
 
 
+
+# =====================================================================
+# Quantile operators (stages/quantiles.py) — registered past the window;
+# the percentile family already has the in-window q41 exact-median gate.
+# =====================================================================
+
+@_q(
+    "q62_user_value_percentiles",
+    """
+    SELECT user_id,
+           quantile_disc(value, 0.25) AS p25,
+           quantile_disc(value, 0.50) AS p50,
+           quantile_disc(value, 0.90) AS p90
+    FROM events GROUP BY user_id
+    """,
+)
+def q62_user_value_percentiles(sf_dir: str):
+    """EXACT per-group discrete percentiles (stages/quantiles.py) — the
+    element at max(0, ceil(q*n)-1) of the sorted group, the same index
+    rule as DuckDB quantile_disc, so values hash-match bit-for-bit (no
+    interpolation arithmetic). One coarse-bucket shuffle, run-boundary
+    vectorized picks — no per-group Python."""
+    from .stages.quantiles import grouped_percentiles
+
+    ds = _read(sf_dir, "events", columns=["user_id", "value"])
+    out = grouped_percentiles(ds, "user_id", "value",
+                              {"p25": 0.25, "p50": 0.50, "p90": 0.90})
+    return out.to_pandas().sort_values("user_id").reset_index(drop=True)
+
+
+@_q("q63_value_quantile_sketch")
+def q63_value_quantile_sketch(sf_dir: str):
+    """Mergeable histogram-sketch global quantiles — the 10^10-row scale
+    path (fixed O(nbins) memory everywhere; estimate within one bin width
+    above the true value). Deterministic: binning depends only on the
+    exact (min, max, nbins). Rows-only (approximate by design; the exact
+    counterpart is gated by q62/q41)."""
+    import pandas as pd
+
+    from .stages.quantiles import quantile_sketch, sketch_quantiles
+
+    ds = _read(sf_dir, "events", columns=["value"])
+    sk = quantile_sketch(ds, "value", nbins=4096)
+    qs = [0.5, 0.9, 0.99]
+    est = sketch_quantiles(sk, qs)
+    return pd.DataFrame({"q": qs, "est": np.round(est, 6),
+                         "total": np.int64(sk["total"])})

@@ -1,0 +1,148 @@
+"""Distributed quantiles: exact per-group percentiles and a mergeable
+histogram sketch for global quantiles at corpus scale.
+
+The reference computes no percentiles (its analytics are counts/means —
+SURVEY.md §2.6 A5/A6); these follow the repo's custom-operator contract
+(SCALE.md §7): one coarse-bucket shuffle, a single partition-key's rows
+fit one task, vectorized per-bucket work.
+
+- :func:`grouped_percentiles`: EXACT discrete percentiles per group — the
+  value at index ``max(0, ceil(q*n) - 1)`` of the group's sorted values,
+  i.e. an actual element (dtype-preserving, bit-reproducible) under the
+  same index rule DuckDB's ``quantile_disc`` uses (rule parity probed for
+  n = 1..10 x q = .25/.5/.9), so the oracle is plain ANSI-ish SQL.
+- :func:`quantile_sketch` + :func:`sketch_quantiles`: GLOBAL quantiles
+  over 10^10 rows with fixed memory. Pass 1 is a native min/max (two
+  scalars); pass 2 bins each batch into ``nbins`` uniform bins — int64
+  count vectors that merge by addition, reduced with the same
+  coarse-bucket combine as everything else. The estimate's value error
+  is <= one bin width ((max - min) / nbins); rank order is exact across
+  bins. Deterministic: binning depends only on (min, max, nbins).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _disc_index(q: float, n: np.ndarray) -> np.ndarray:
+    """Index of the discrete q-quantile in a sorted run of length n —
+    DuckDB quantile_disc's element: max(0, ceil(q*n) - 1)."""
+    return np.maximum(0, np.ceil(q * n).astype(np.int64) - 1)
+
+
+def grouped_percentiles(ds, group_col: str, value_col: str,
+                        qs: dict[str, float], num_buckets: int = 64):
+    """Exact per-group discrete percentiles, one output column per entry
+    of ``qs`` ({out_name: quantile in (0, 1]}).
+
+    ONE coarse-bucket shuffle of the (group, value) projection; inside a
+    bucket the whole computation is a sort + run-boundary index pick —
+    no per-group Python (SCALE.md §7 contract: a group's rows fit one
+    task). Output values are actual elements of the input column, so the
+    result is dtype-preserving and hash-comparable to SQL quantile_disc.
+    """
+    from .dedup import _bucket_of
+
+    for name, q in qs.items():
+        if not 0 < q <= 1:
+            raise ValueError(f"{name}: quantile {q} outside (0, 1]")
+
+    def tag(t: pa.Table) -> pa.Table:
+        t = t.select([group_col, value_col])
+        return t.append_column("__qb", _bucket_of(t[group_col], num_buckets))
+
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:  # empty sort-boundary block
+            return pa.Table.from_pandas(
+                pd.DataFrame({group_col: df[group_col],
+                              **{n: df[value_col] for n in qs}}),
+                preserve_index=False)
+        df = df.sort_values([group_col, value_col], kind="mergesort")
+        keys = df[group_col].to_numpy()
+        vals = df[value_col].to_numpy()
+        bounds = np.nonzero(keys[1:] != keys[:-1])[0] + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [len(keys)]])
+        ns = ends - starts
+        cols = {group_col: keys[starts]}
+        for name, q in qs.items():
+            cols[name] = vals[starts + _disc_index(q, ns)]
+        return pa.table({k: pa.array(v) for k, v in cols.items()})
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("__qb").map_groups(per_bucket, batch_format="pandas"))
+
+
+def quantile_sketch(ds, value_col: str, nbins: int = 4096) -> dict:
+    """Mergeable histogram sketch of a numeric column.
+
+    Returns ``{"lo", "hi", "total", "counts"}`` where ``counts`` is the
+    int64 per-bin vector. Two passes: a native min/max (two scalars
+    cross the cluster), then per-batch ``np.bincount`` partials merged
+    with the coarse-bucket combine — the driver only ever receives the
+    final ``nbins`` rows. Memory is O(nbins) everywhere regardless of
+    row count; at 10^10 rows the partial rows total nbins x blocks,
+    reduced in the bucket stage, never collected raw.
+    """
+    lo = ds.min(value_col)
+    hi = ds.max(value_col)
+    if lo is None:
+        raise ValueError("quantile_sketch over an empty dataset")
+    lo_f, hi_f = float(lo), float(hi)
+    span = hi_f - lo_f
+
+    def hist(t: pa.Table) -> pa.Table:
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        if span == 0.0:
+            idx = np.zeros(len(v), dtype=np.int64)
+        else:
+            idx = np.clip(((v - lo_f) * (nbins / span)).astype(np.int64),
+                          0, nbins - 1)
+        c = np.bincount(idx, minlength=nbins).astype(np.int64)
+        nz = np.nonzero(c)[0]  # sparse partials: most bins are empty
+        return pa.table({"bin": pa.array(nz, pa.int64()),
+                         "n": pa.array(c[nz], pa.int64()),
+                         "__hb": pa.array((nz & 63).astype(np.int32))})
+
+    def merge(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            e = pa.array([], pa.int64())
+            return pa.table({"bin": e, "n": e})
+        b = df["bin"].to_numpy()
+        n = df["n"].to_numpy()
+        order = np.argsort(b, kind="stable")
+        b, n = b[order], n[order]
+        starts = np.concatenate([[0], np.nonzero(np.diff(b))[0] + 1])
+        return pa.table({"bin": pa.array(b[starts], pa.int64()),
+                         "n": pa.array(np.add.reduceat(n, starts),
+                                       pa.int64())})
+
+    rows = (ds.map_batches(hist, batch_format="pyarrow")
+            .groupby("__hb").map_groups(merge, batch_format="pandas")
+            .to_pandas())
+    counts = np.zeros(nbins, dtype=np.int64)
+    counts[rows["bin"].to_numpy()] = rows["n"].to_numpy()
+    return {"lo": lo_f, "hi": hi_f, "total": int(counts.sum()),
+            "counts": counts}
+
+
+def sketch_quantiles(sketch: dict, qs: list[float]) -> list[float]:
+    """Quantile estimates from a :func:`quantile_sketch` — the UPPER edge
+    of the bin containing the discrete q-quantile's rank, so the true
+    value lies within one bin width below the estimate."""
+    counts = sketch["counts"]
+    nbins = len(counts)
+    lo, hi, total = sketch["lo"], sketch["hi"], sketch["total"]
+    if total == 0:
+        raise ValueError("empty sketch")
+    cum = np.cumsum(counts)
+    width = (hi - lo) / nbins if hi > lo else 0.0
+    out = []
+    for q in qs:
+        rank = max(0, int(np.ceil(q * total)) - 1)
+        b = int(np.searchsorted(cum, rank + 1))
+        out.append(hi if width == 0.0 else lo + (b + 1) * width)
+    return out

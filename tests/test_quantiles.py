@@ -1,0 +1,73 @@
+"""Quantile operator tests: exact grouped percentiles vs brute force,
+histogram-sketch error bound and determinism."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from logcrawler_ray.stages.quantiles import (grouped_percentiles,
+                                             quantile_sketch,
+                                             sketch_quantiles)
+
+
+def _disc(vals, q):
+    v = np.sort(np.asarray(vals))
+    return v[max(0, int(np.ceil(q * len(v))) - 1)]
+
+
+@pytest.mark.parametrize("as_str", [False, True])
+def test_grouped_percentiles_matches_bruteforce(ray_session, as_str):
+    import ray.data as rd
+
+    rng = np.random.default_rng(5)
+    n = 4000
+    keys = rng.integers(0, 37, n).astype(np.int64)
+    vals = rng.normal(0, 100, n)
+    df = pd.DataFrame({"g": keys, "v": vals})
+    if as_str:
+        df["g"] = df["g"].map("grp{:03d}".format)
+    qs = {"p10": 0.10, "p50": 0.50, "p99": 0.99}
+    got = (grouped_percentiles(rd.from_pandas(df).repartition(9), "g", "v", qs)
+           .to_pandas().sort_values("g").reset_index(drop=True))
+    for _, row in got.iterrows():
+        gv = df.loc[df["g"] == row["g"], "v"].to_numpy()
+        for name, q in qs.items():
+            assert row[name] == _disc(gv, q), (row["g"], name)
+    assert len(got) == df["g"].nunique()
+
+
+def test_grouped_percentiles_rejects_bad_q(ray_session):
+    import ray.data as rd
+
+    df = pd.DataFrame({"g": [1], "v": [1.0]})
+    with pytest.raises(ValueError):
+        grouped_percentiles(rd.from_pandas(df), "g", "v", {"bad": 0.0})
+
+
+def test_quantile_sketch_error_bound_and_determinism(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(11)
+    vals = np.concatenate([rng.normal(50, 10, 20_000),
+                           rng.exponential(200, 5_000)])
+    ds = rd.from_pandas(pd.DataFrame({"v": vals})).repartition(8)
+    nbins = 2048
+    sk1 = quantile_sketch(ds, "v", nbins=nbins)
+    sk2 = quantile_sketch(ds, "v", nbins=nbins)
+    assert (sk1["counts"] == sk2["counts"]).all()   # cross-run stable
+    assert sk1["total"] == len(vals)
+    width = (sk1["hi"] - sk1["lo"]) / nbins
+    for q in (0.1, 0.5, 0.9, 0.99):
+        est = sketch_quantiles(sk1, [q])[0]
+        true = _disc(vals, q)
+        # estimate is the upper edge of the rank's bin: within one width
+        assert true <= est <= true + width + 1e-9, (q, true, est)
+
+
+def test_quantile_sketch_constant_column(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_pandas(pd.DataFrame({"v": np.full(100, 7.5)}))
+    sk = quantile_sketch(ds, "v", nbins=64)
+    assert sk["total"] == 100 and sk["counts"][0] == 100
+    assert sketch_quantiles(sk, [0.01, 0.5, 1.0]) == [7.5, 7.5, 7.5]
