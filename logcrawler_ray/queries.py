@@ -1882,14 +1882,13 @@ def q32_hourly_by_type(sf_dir: str):
     """,
 )
 def q34_popular_parts(sf_dir: str):
-    """Groupby + HAVING: post-aggregation filter."""
-    from ray.data.aggregate import Count
+    """Groupby + HAVING: post-aggregation filter. Count via the map-side
+    combiner + coarse-bucket merge (20k part keys: a native per-key
+    aggregate pays per-group cost, CLAUDE.md r3 lesson)."""
+    from .stages.skew import salted_aggregate
 
-    ds = (
-        _read(sf_dir, "lineitem", columns=["l_partkey"])
-        .groupby("l_partkey")
-        .aggregate(Count(alias_name="n_lines"))
-    )
+    ds = salted_aggregate(_read(sf_dir, "lineitem", columns=["l_partkey"]),
+                          "l_partkey", {"n_lines": "count"})
     return ds.map_batches(
         lambda t: t.filter(pc.greater_equal(t["n_lines"], 8)), batch_format="pyarrow")
 
