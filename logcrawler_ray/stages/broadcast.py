@@ -34,15 +34,38 @@ def _guard(n: int, what: str, max_rows: int) -> None:
             "use Dataset.join (hash-partitioned) instead")
 
 
+def distinct_keys_ds(ds, col: str, num_buckets: int = 64):
+    """Distributed distinct of one column: per-batch ``pc.unique``
+    partials -> ONE coarse-bucket shuffle -> a C-level drop_duplicates
+    per bucket. (A native ``groupby(col).count`` pays per-GROUP cost at
+    distinct-key cardinality — the r3 CLAUDE.md lesson.)"""
+    import pandas as pd
+
+    from .dedup import _bucket_of
+
+    def partial(t: pa.Table) -> pa.Table:
+        u = pc.unique(t[col].combine_chunks())
+        return pa.table({col: u, "__db": _bucket_of(u, num_buckets)})
+
+    def merge(df: "pd.DataFrame") -> pa.Table:
+        return pa.Table.from_pandas(df[[col]].drop_duplicates(),
+                                    preserve_index=False)
+
+    return (ds.select_columns([col])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("__db").map_groups(merge, batch_format="pandas"))
+
+
 def broadcast_key_set(ds, col: str, *, max_rows: int = DEFAULT_MAX_BROADCAST_ROWS):
     """Distinct keys of ``ds[col]`` as an ObjectRef[pa.Array] for semi/anti
-    probes. The distinct runs distributed (Ray groupby); the driver-side
-    collect is LIMIT-bounded to ``max_rows + 1`` BEFORE materializing, so
-    an oversized side raises without the driver ever holding it (round-2
-    advice: the guard must fire before the OOM it prevents)."""
+    probes. The distinct runs distributed (:func:`distinct_keys_ds`); the
+    driver-side collect is LIMIT-bounded to ``max_rows + 1`` BEFORE
+    materializing, so an oversized side raises without the driver ever
+    holding it (round-2 advice: the guard must fire before the OOM it
+    prevents)."""
     import ray
 
-    uniq = ds.select_columns([col]).groupby(col).count()
+    uniq = distinct_keys_ds(ds, col)
     df = uniq.limit(max_rows + 1).to_pandas()
     _guard(len(df), f"key set {col}", max_rows)
     return ray.put(pa.Array.from_pandas(df[col]))
