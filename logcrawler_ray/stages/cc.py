@@ -194,12 +194,13 @@ def cc_labels_dataset(edges_ds, a: str = "a", b: str = "b", *,
                 })
 
             # only roots can repeat (identical (root, root) rows emitted
-            # once per batch) — a native distinct removes them without
-            # per-group Python
-            out = (edges.map_batches(labels, batch_format="pyarrow")
-                   .groupby(["node", "component"]).count()
-                   .select_columns(["node", "component"]))
-            return out
+            # once per batch) — distinct via the coarse-bucket combine
+            # (a native groupby pays per-group cost at node cardinality)
+            from .hamming import distinct_pairs
+
+            return distinct_pairs(
+                edges.map_batches(labels, batch_format="pyarrow"),
+                cols=("node", "component"))
         prev = sig
     raise CCNotConverged(f"no fixpoint after {max_rounds} rounds")
 

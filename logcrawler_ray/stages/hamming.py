@@ -48,40 +48,42 @@ def split_candidates(pairs: pd.DataFrame) -> tuple[pd.DataFrame, pd.DataFrame]:
     return pairs[~mark].reset_index(drop=True), dropped
 
 
-def _pair_bucket(t: pa.Table, n: int) -> pa.Array:
-    """Coarse int32 bucket of an (a, b) pair row, mixing both ids."""
+def _pair_bucket(t: pa.Table, n: int, cols: tuple[str, str]) -> pa.Array:
+    """Coarse int32 bucket of an id-pair row, mixing both ids."""
     from ..functions.hashing import splitmix64
 
-    a = to_uint64(t["a"].to_numpy(zero_copy_only=False).astype(np.int64))
-    b = to_uint64(t["b"].to_numpy(zero_copy_only=False).astype(np.int64))
+    a = to_uint64(t[cols[0]].to_numpy(zero_copy_only=False).astype(np.int64))
+    b = to_uint64(t[cols[1]].to_numpy(zero_copy_only=False).astype(np.int64))
     with np.errstate(over="ignore"):
         u = splitmix64(a * np.uint64(0x9E3779B97F4A7C15) + b)
     return pa.array((u % np.uint64(n)).astype(np.int32))
 
 
-def distinct_pairs(pairs_ds, carry: str | None = None, num_buckets: int = 64):
-    """Distinct (a, b) rows via ONE coarse-bucket shuffle + a C-level
-    per-bucket combine. A native ``groupby(["a","b"]).aggregate`` pays
+def distinct_pairs(pairs_ds, carry: str | None = None, num_buckets: int = 64,
+                   cols: tuple[str, str] = ("a", "b")):
+    """Distinct int64-pair rows via ONE coarse-bucket shuffle + a C-level
+    per-bucket combine. A native ``groupby([pair]).aggregate`` pays
     per-GROUP cost at pair-count cardinality (measured ~150 us/distinct
     key at 200k keys — see dedup.dup_winners); this is the same result
     at per-ROW cost. ``carry`` names a column functionally dependent on
     the pair (e.g. hamming) to keep (min per pair, any value equal)."""
+    ca, cb = cols
 
     def tag(t: pa.Table) -> pa.Table:
-        return t.append_column("__pb", _pair_bucket(t, num_buckets))
+        return t.append_column("__pb", _pair_bucket(t, num_buckets, cols))
 
     def merge(df: pd.DataFrame) -> pa.Table:
         if len(df) == 0:  # empty sort-boundary block
-            cols = {"a": df["a"], "b": df["b"]}
+            out = {ca: df[ca], cb: df[cb]}
             if carry:
-                cols[carry] = df[carry]
-            return pa.Table.from_pandas(pd.DataFrame(cols),
+                out[carry] = df[carry]
+            return pa.Table.from_pandas(pd.DataFrame(out),
                                         preserve_index=False)
         if carry:
-            g = df.groupby(["a", "b"], as_index=False, sort=False).agg(
+            g = df.groupby([ca, cb], as_index=False, sort=False).agg(
                 **{carry: (carry, "min")})
         else:
-            g = df[["a", "b"]].drop_duplicates()
+            g = df[[ca, cb]].drop_duplicates()
         return pa.Table.from_pandas(g, preserve_index=False)
 
     return (pairs_ds.map_batches(tag, batch_format="pyarrow")
