@@ -325,11 +325,21 @@ def dedup_exact(ds, key: str = "phash", order_col: str = "image_id",
         ref = ray.put(pa.array(sorted(losers)) if losers else frozenset())
         return ds.map_batches(anti_filter_fn(ref, order_col), batch_format="pyarrow")
 
-    # fallback: full-row groupby (one all-to-all on the key)
-    def first(group: pd.DataFrame) -> pd.DataFrame:
-        return group.loc[[group[order_col].idxmin()]]
+    # fallback: full-row shuffle, but on a COARSE key bucket (per-key
+    # map_groups costs ~1-2 ms/group at corpus-key cardinality); inside a
+    # bucket every key's rows are co-located, so the block combiner's
+    # vectorized first-of-run scan IS the global first-wins
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column("__b", _bucket_of(t[key], 64))
 
-    return ds.groupby(key).map_groups(first, batch_format="pandas")
+    def first_in_bucket(df: pd.DataFrame) -> pa.Table:
+        t = pa.Table.from_pandas(df.drop(columns="__b"),
+                                 preserve_index=False)
+        return dedup_within_batch(t, key, order_col)
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("__b").map_groups(first_in_bucket,
+                                       batch_format="pandas"))
 
 
 def dedup_within_batch(batch: pa.Table, key: str, order_col: str) -> pa.Table:

@@ -259,3 +259,29 @@ def test_dup_winners_matches_pandas(ray_session):
                 .sort_values("phash").reset_index(drop=True))
         pd.testing.assert_frame_equal(
             got[["phash", "__min", "__n"]], want[["phash", "__min", "__n"]])
+
+
+def test_dedup_exact_fallback_matches_broadcast_path(ray_session):
+    """Forcing max_broadcast=0 exercises the coarse-bucket full-shuffle
+    fallback; its kept rows must equal the broadcast anti-filter path's."""
+    import pandas as pd
+    import ray.data as rd
+
+    from logcrawler_ray.stages.dedup import dedup_exact
+
+    rng = np.random.default_rng(7)
+    n = 3000
+    df = pd.DataFrame({"phash": rng.integers(0, n // 3, n).astype(np.int64),
+                       "image_id": rng.permutation(n).astype(np.int64),
+                       "payload": [f"p{i}" for i in range(n)]})
+    ds = rd.from_pandas(df).repartition(8).materialize()
+    want = (dedup_exact(ds, "phash", "image_id").to_pandas()
+            .sort_values("image_id").reset_index(drop=True))
+    got = (dedup_exact(ds, "phash", "image_id", max_broadcast=0).to_pandas()
+           .sort_values("image_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[["phash", "image_id", "payload"]],
+                                  want[["phash", "image_id", "payload"]])
+    # first-wins: every kept row is its key's min image_id
+    mins = df.groupby("phash")["image_id"].min()
+    assert (got["image_id"].to_numpy()
+            == mins.loc[got["phash"]].to_numpy()).all()
