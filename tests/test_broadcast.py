@@ -47,3 +47,23 @@ def test_broadcast_map_guard(ray_session):
         broadcast_map(ds, "k", "v", max_rows=10)
     with pytest.raises(BroadcastTooLarge):
         broadcast_map_from_dict({i: i for i in range(11)}, max_rows=10)
+
+
+def test_distinct_keys_ds_matches_pandas(ray_session):
+    """distinct_keys_ds == pandas unique, for int and string key columns,
+    with duplicates spread across blocks."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from logcrawler_ray.stages.broadcast import distinct_keys_ds
+
+    rng = np.random.default_rng(3)
+    n = 3000
+    ints = rng.integers(0, 200, n).astype(np.int64)
+    strs = pd.Series(ints).map("host{:03d}".format)
+    for col, vals in (("k", ints), ("k", strs)):
+        df = pd.DataFrame({col: vals, "junk": np.arange(n)})
+        got = sorted(distinct_keys_ds(rd.from_pandas(df).repartition(8), col)
+                     .to_pandas()[col].tolist())
+        assert got == sorted(pd.unique(df[col]).tolist())
