@@ -48,8 +48,9 @@ def distinct_keys_ds(ds, col: str, num_buckets: int = 64):
         return pa.table({col: u, "__db": _bucket_of(u, num_buckets)})
 
     def merge(df: "pd.DataFrame") -> pa.Table:
-        return pa.Table.from_pandas(df[[col]].drop_duplicates(),
-                                    preserve_index=False)
+        from .dedup import typed_from_pandas
+
+        return typed_from_pandas(df[[col]].drop_duplicates())
 
     return (ds.select_columns([col])
             .map_batches(partial, batch_format="pyarrow")

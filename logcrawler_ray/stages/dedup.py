@@ -134,23 +134,19 @@ def dup_winners(skinny_ds, key: str, order_col: str, num_buckets: int = 64):
 
     def batch_partials(t: pa.Table) -> pa.Table:
         df = t.select([key, order_col]).to_pandas()
-        g = df.groupby(key, as_index=False, sort=False).agg(
+        g = df.groupby(key, as_index=False, sort=False,
+                       dropna=False).agg(
             __min=(order_col, "min"), __n=(order_col, "size"))
         g["__n"] = g["__n"].astype(np.int64)
-        out = pa.Table.from_pandas(g, preserve_index=False)
+        out = typed_from_pandas(g)
         return out.append_column("__b", _bucket_of(out[key], num_buckets))
 
     def merge_bucket(df: pd.DataFrame) -> pa.Table:
-        if len(df) == 0:  # empty sort-boundary block
-            return pa.Table.from_pandas(
-                pd.DataFrame({key: df[key], "__min": df["__min"],
-                              "__n": pd.Series([], dtype=np.int64)}),
-                preserve_index=False)
-        g = df.groupby(key, as_index=False, sort=False).agg(
+        g = df.groupby(key, as_index=False, sort=False, dropna=False).agg(
             __min=("__min", "min"), __n=("__n", "sum"))
         g = g[g["__n"].to_numpy() > 1]
         g["__n"] = g["__n"].astype(np.int64)
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return typed_from_pandas(g[[key, "__min", "__n"]])
 
     return (skinny_ds.map_batches(batch_partials, batch_format="pyarrow")
             .groupby("__b")
@@ -195,15 +191,34 @@ def exact_losers_by(skinny_ds, key: str, order_col: str,
 
 
 def _bucket_of(col, n: int) -> pa.Array:
-    """Stable coarse bucket id (int32) of a key column, any hashable type."""
+    """Stable coarse bucket id (int32) of a key column, any hashable type.
+    Null keys deterministically land in one bucket (hash of 0 / '')."""
     from ..functions.hashing import hash64_str_array, splitmix64
 
     col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
     if pa.types.is_integer(col.type):
+        if col.null_count:
+            col = pc.fill_null(col, 0)
         u = splitmix64(col.to_numpy(zero_copy_only=False).astype(np.uint64))
     else:
-        u = hash64_str_array(col.to_pylist())
+        u = hash64_str_array(["" if v is None else v for v in col.to_pylist()])
     return pa.array((u % np.uint64(n)).astype(np.int32))
+
+
+def typed_from_pandas(df: pd.DataFrame) -> pa.Table:
+    """``pa.Table.from_pandas`` with EMPTY object columns pinned to
+    ``pa.string()``. A filtered-to-empty pandas frame round-trips an
+    object column as a null-typed Arrow column, and null-typed blocks
+    break cross-block schema unification (the coarse-bucket combine fns
+    all emit empty tables for no-result buckets — same hazard cc.py
+    documents for its losers path). Non-string object keys are not used
+    as combine keys in this repo."""
+    tab = pa.Table.from_pandas(df, preserve_index=False)
+    for i, f in enumerate(tab.schema):
+        if pa.types.is_null(f.type):
+            tab = tab.set_column(i, pa.field(f.name, pa.string()),
+                                 pa.array([None] * tab.num_rows, pa.string()))
+    return tab
 
 
 def exact_losers_files(skinny_ds, key: str, order_col: str, part_col: str,
@@ -333,8 +348,7 @@ def dedup_exact(ds, key: str = "phash", order_col: str = "image_id",
         return t.append_column("__b", _bucket_of(t[key], 64))
 
     def first_in_bucket(df: pd.DataFrame) -> pa.Table:
-        t = pa.Table.from_pandas(df.drop(columns="__b"),
-                                 preserve_index=False)
+        t = typed_from_pandas(df.drop(columns="__b"))
         return dedup_within_batch(t, key, order_col)
 
     return (ds.map_batches(tag, batch_format="pyarrow")

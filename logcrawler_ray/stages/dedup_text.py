@@ -514,8 +514,12 @@ def ngram_jaccard_pairs(ds, threshold: float = 0.2, ngram: int = 3,
         sa = t["sz_a"].to_numpy()[real].astype(np.float64)
         sb = t["sz_b"].to_numpy()[real].astype(np.float64)
         c = t["n_common"].to_numpy()[real].astype(np.float64)
-        j = np.round(c / (sa + sb - c), 4)
-        keep = j >= threshold
+        # threshold on the UNROUNDED ratio (the SQL oracle's WHERE is
+        # unrounded; rounding first would keep pairs in
+        # [threshold - 5e-5, threshold) that the oracle excludes)
+        jraw = c / (sa + sb - c)
+        keep = jraw >= threshold
+        j = np.round(jraw, 4)
         out_a = a[keep]
         out_b = b[keep]
         out_j = j[keep]

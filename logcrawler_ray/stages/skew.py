@@ -41,7 +41,7 @@ def salted_aggregate(ds, key: str, agg_cols: dict[str, str],
     """
     import pandas as pd
 
-    from .dedup import _bucket_of
+    from .dedup import _bucket_of, typed_from_pandas
 
     _PARTIAL = {"sum": "sum", "count": "size", "min": "min", "max": "max"}
     _MERGE = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
@@ -49,25 +49,26 @@ def salted_aggregate(ds, key: str, agg_cols: dict[str, str],
         if how not in _PARTIAL:
             raise ValueError(how)
 
+    needed = [key] + sorted({out for out, how in agg_cols.items()
+                             if how != "count"})
+
     def partials(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
+        df = t.select(needed).to_pandas()
         spec = {out: ((key if how == "count" else out), _PARTIAL[how])
                 for out, how in agg_cols.items()}
-        g = df.groupby(key, as_index=False, sort=False).agg(**spec)
+        g = df.groupby(key, as_index=False, sort=False,
+                       dropna=False).agg(**spec)
         for out, how in agg_cols.items():
             if how == "count":
                 g[out] = g[out].astype(np.int64)
-        tab = pa.Table.from_pandas(g, preserve_index=False)
+        tab = typed_from_pandas(g)
         return tab.append_column("__kb", _bucket_of(tab[key], num_buckets))
 
     def merge(df: pd.DataFrame) -> pa.Table:
-        if len(df) == 0:  # empty sort-boundary block
-            cols = {key: df[key], **{out: df[out] for out in agg_cols}}
-            return pa.Table.from_pandas(pd.DataFrame(cols),
-                                        preserve_index=False)
         spec = {out: (out, _MERGE[how]) for out, how in agg_cols.items()}
-        g = df.groupby(key, as_index=False, sort=False).agg(**spec)
-        return pa.Table.from_pandas(g, preserve_index=False)
+        g = df.groupby(key, as_index=False, sort=False,
+                       dropna=False).agg(**spec)
+        return typed_from_pandas(g[[key, *agg_cols]])
 
     return (ds.map_batches(partials, batch_format="pyarrow")
             .groupby("__kb").map_groups(merge, batch_format="pandas"))

@@ -285,3 +285,23 @@ def test_dedup_exact_fallback_matches_broadcast_path(ray_session):
     mins = df.groupby("phash")["image_id"].min()
     assert (got["image_id"].to_numpy()
             == mins.loc[got["phash"]].to_numpy()).all()
+
+
+def test_dup_winners_string_schema_survives_empty_buckets(ray_session):
+    """Mostly-unique STRING keys: most coarse buckets emit empty tables,
+    which must stay string-typed (a filtered-to-empty pandas object
+    column round-trips as a null-typed Arrow column otherwise and breaks
+    cross-block schema unification)."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from logcrawler_ray.stages.dedup import dup_winners
+
+    df = pd.DataFrame({"phash": [f"k{i:05d}" for i in range(2000)] + ["k00001"],
+                       "image_id": np.arange(2001, dtype=np.int64)})
+    out = dup_winners(rd.from_pandas(df).repartition(8), "phash", "image_id")
+    assert out.schema().base_schema.field("phash").type == pa.string()
+    rows = out.to_pandas()
+    assert rows.to_dict("records") == [
+        {"phash": "k00001", "__min": 1, "__n": 2}]

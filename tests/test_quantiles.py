@@ -11,8 +11,15 @@ from logcrawler_ray.stages.quantiles import (grouped_percentiles,
 
 
 def _disc(vals, q):
-    v = np.sort(np.asarray(vals))
-    return v[max(0, int(np.ceil(q * len(v))) - 1)]
+    """DuckDB itself is the oracle — the operator's contract is parity
+    with quantile_disc, including float-boundary products like
+    0.07*100 or 0.99*100 where a naive ceil lands one element high."""
+    import duckdb
+
+    v = np.asarray(vals, dtype=np.float64).tolist()
+    return duckdb.execute(
+        "select quantile_disc(x, ?) from (select unnest(?::DOUBLE[]) as x)",
+        [q, v]).fetchone()[0]
 
 
 @pytest.mark.parametrize("as_str", [False, True])
@@ -26,7 +33,7 @@ def test_grouped_percentiles_matches_bruteforce(ray_session, as_str):
     df = pd.DataFrame({"g": keys, "v": vals})
     if as_str:
         df["g"] = df["g"].map("grp{:03d}".format)
-    qs = {"p10": 0.10, "p50": 0.50, "p99": 0.99}
+    qs = {"p10": 0.10, "p50": 0.50, "p99": 0.99, "p07": 0.07}
     got = (grouped_percentiles(rd.from_pandas(df).repartition(9), "g", "v", qs)
            .to_pandas().sort_values("g").reset_index(drop=True))
     for _, row in got.iterrows():

@@ -56,3 +56,17 @@ def test_repartition_by_key_colocates(ray_session):
     out = repartition_by_key(rd.from_pandas(df), "host_hash", 4).to_pandas()
     assert len(out) == 100
     assert sorted(out["v"]) == list(range(100))
+
+
+def test_salted_aggregate_keeps_null_key_group(ray_session):
+    """SQL GROUP BY (and the replaced native aggregate) keep a NULL-key
+    group; the pandas combiner must not silently drop those rows."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    tab = pa.table({"host": ["a", None, "a", None, None],
+                    "v": pa.array([1, 2, 3, 4, 5], pa.int64())})
+    out = salted_aggregate(rd.from_arrow(tab), "host", {"v": "sum"}).to_pandas()
+    got = {(None if pd.isna(k) else k): int(v)
+           for k, v in zip(out["host"], out["v"])}
+    assert got == {"a": 4, None: 11}
