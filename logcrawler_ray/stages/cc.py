@@ -253,6 +253,11 @@ def cluster_losers_ds(pairs_ds, idmap_ds, *, id64_col: str = "__id64",
         m, lab = g.filter(is_map), g.filter(pc.invert(is_map))
         idx = pc.index_in(lab["node"], value_set=m["node"].combine_chunks())
         ids = pc.take(m[id_col].combine_chunks(), idx)
+        if ids.null_count:  # ADVICE r3: an idmap coverage gap (or id64
+            # collision) must fail loudly, not commit null delete keys
+            raise ValueError(
+                f"cluster_losers_ds: {ids.null_count} paired node(s) have "
+                f"no id in idmap_ds — idmap must cover every paired id")
         return pa.table({"component": lab["component"], id_col: ids})
 
     comp_ids = both.groupby("__b").map_groups(attach, batch_format="pyarrow")

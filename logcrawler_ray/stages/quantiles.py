@@ -57,27 +57,43 @@ def grouped_percentiles(ds, group_col: str, value_col: str,
             raise ValueError(f"{name}: quantile {q} outside (0, 1]")
 
     def tag(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         t = t.select([group_col, value_col])
+        # quantile_disc ignores NULL values — drop them BEFORE the shuffle
+        # (ADVICE r3: a NULL/NaN that survives to the sort is picked as a
+        # high percentile because pandas sorts NaN last).
+        keep = pc.is_valid(t[value_col])
+        if pa.types.is_floating(t.schema.field(value_col).type):
+            keep = pc.and_kleene(keep, pc.invert(
+                pc.is_nan(t[value_col])))
+            keep = pc.fill_null(keep, False)
+        t = t.filter(keep)
         return t.append_column("__qb", _bucket_of(t[group_col], num_buckets))
 
     def per_bucket(df: pd.DataFrame) -> pa.Table:
-        if len(df) == 0:  # empty sort-boundary block
-            from .dedup import typed_from_pandas
+        from .dedup import typed_from_pandas
 
+        if len(df) == 0:  # empty sort-boundary block
             return typed_from_pandas(
                 pd.DataFrame({group_col: df[group_col],
                               **{n: df[value_col] for n in qs}}))
-        df = df.sort_values([group_col, value_col], kind="mergesort")
-        keys = df[group_col].to_numpy()
+        df = (df.sort_values([group_col, value_col], kind="mergesort")
+              .reset_index(drop=True))
+        # factorize: null/NaN group keys get ONE code (one run) instead of
+        # per-row runs from NaN != NaN (ADVICE r3); sort_values already
+        # co-located them at the end.
+        codes, _ = pd.factorize(df[group_col], use_na_sentinel=False)
         vals = df[value_col].to_numpy()
-        bounds = np.nonzero(keys[1:] != keys[:-1])[0] + 1
+        bounds = np.nonzero(codes[1:] != codes[:-1])[0] + 1
         starts = np.concatenate([[0], bounds])
-        ends = np.concatenate([bounds, [len(keys)]])
+        ends = np.concatenate([bounds, [len(codes)]])
         ns = ends - starts
-        cols = {group_col: keys[starts]}
+        out = pd.DataFrame({group_col: df[group_col].iloc[starts]
+                            .reset_index(drop=True)})
         for name, q in qs.items():
-            cols[name] = vals[starts + _disc_index(q, ns)]
-        return pa.table({k: pa.array(v) for k, v in cols.items()})
+            out[name] = vals[starts + _disc_index(q, ns)]
+        return typed_from_pandas(out)
 
     return (ds.map_batches(tag, batch_format="pyarrow")
             .groupby("__qb").map_groups(per_bucket, batch_format="pandas"))
@@ -98,16 +114,28 @@ def quantile_sketch(ds, value_col: str, nbins: int = 4096) -> dict:
     """
     from ray.data.aggregate import Max, Min
 
+    import math
+
     mm = ds.aggregate(Min(value_col, alias_name="__lo"),
                       Max(value_col, alias_name="__hi"))
     lo, hi = mm["__lo"], mm["__hi"]
     if lo is None:
         raise ValueError("quantile_sketch over an empty dataset")
     lo_f, hi_f = float(lo), float(hi)
+    if not (math.isfinite(lo_f) and math.isfinite(hi_f)):
+        # a NaN/inf in the column makes every bin index undefined — and a
+        # bare astype(int64) on NaN silently lands in bin 0 (ADVICE r3);
+        # fail loudly instead of corrupting counts.
+        raise ValueError(
+            f"quantile_sketch: non-finite column range [{lo_f}, {hi_f}] — "
+            f"filter non-finite values out of {value_col!r} first")
     span = hi_f - lo_f
 
     def hist(t: pa.Table) -> pa.Table:
         v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        if not np.isfinite(v).all():
+            raise ValueError(
+                f"quantile_sketch: non-finite value in {value_col!r}")
         if span == 0.0:
             idx = np.zeros(len(v), dtype=np.int64)
         else:

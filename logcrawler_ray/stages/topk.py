@@ -25,7 +25,6 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import pyarrow.compute as pc
 
 # Knuth's multiplicative constant: spreads sequential ids uniformly over
 # [0, 2^32). Kept as plain SQL-expressible arithmetic ((id * A) % 2^32) so
@@ -37,7 +36,10 @@ HASH_MOD = 1 << 32
 def _prune_df(df: pd.DataFrame, group_col: str, sort_cols: list[str],
               ascending: list[bool], k: int) -> pd.DataFrame:
     df = df.sort_values(sort_cols, ascending=ascending, kind="mergesort")
-    return df[df.groupby(group_col, sort=False).cumcount() < k]
+    # dropna=False: a NULL group key is a real partition under SQL
+    # ROW_NUMBER() semantics — dropping it here would silently delete
+    # those rows from the result (ADVICE r3).
+    return df[df.groupby(group_col, sort=False, dropna=False).cumcount() < k]
 
 
 def topk_per_group(ds, *, group_col: str, order_col: str, k: int,
@@ -58,29 +60,20 @@ def topk_per_group(ds, *, group_col: str, order_col: str, k: int,
 
     pruned = ds.map_batches(prune_batch, batch_format="pyarrow")
 
-    sch_t = dict(zip(ds.schema().names, ds.schema().types))[group_col]
-    # pandas-backed blocks report numpy dtypes, arrow-backed pa.DataTypes
-    group_dtype = (pa.schema([(group_col, sch_t)]).empty_table()
-                   .to_pandas().dtypes[group_col]
-                   if isinstance(sch_t, pa.DataType) else sch_t)
-    if pd.api.types.is_integer_dtype(group_dtype):
-        def bucketize(t: pa.Table) -> pa.Table:
-            return t.append_column("__g", pc.cast(
-                pc.bit_wise_and(t[group_col], buckets - 1), pa.int32()))
+    # _bucket_of is null-safe (null keys land in ONE bucket) and works for
+    # any key type, so every key type gets the coarse-bucket path — the
+    # per-group map_groups cost (~1-2 ms/group, CLAUDE.md) never applies.
+    from .dedup import _bucket_of
 
-        def finalize(df: pd.DataFrame) -> pa.Table:
-            out = _prune_df(df[in_names], group_col, sort_cols, ascending, k)
-            return pa.Table.from_pandas(out, preserve_index=False)
+    def bucketize(t: pa.Table) -> pa.Table:
+        return t.append_column("__g", _bucket_of(t[group_col], buckets))
 
-        return (pruned.map_batches(bucketize, batch_format="pyarrow")
-                .groupby("__g").map_groups(finalize, batch_format="pandas"))
-
-    def finalize_one(df: pd.DataFrame) -> pa.Table:
+    def finalize(df: pd.DataFrame) -> pa.Table:
         out = _prune_df(df[in_names], group_col, sort_cols, ascending, k)
         return pa.Table.from_pandas(out, preserve_index=False)
 
-    return pruned.groupby(group_col).map_groups(
-        finalize_one, batch_format="pandas")
+    return (pruned.map_batches(bucketize, batch_format="pyarrow")
+            .groupby("__g").map_groups(finalize, batch_format="pandas"))
 
 
 def stratified_sample_hash(ds, *, stratum_col: str, id_col: str, k: int,

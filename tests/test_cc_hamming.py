@@ -246,3 +246,18 @@ def test_distinct_pairs_matches_pandas_dedup(ray_session):
         want2 = (df[["a", "b"]].drop_duplicates()
                  .sort_values(["a", "b"]).reset_index(drop=True))
         pd.testing.assert_frame_equal(got2, want2)
+
+
+def test_cluster_losers_ds_idmap_gap_fails_loudly(ray_session):
+    """An idmap that does not cover every paired id must error, never
+    commit null delete keys (ADVICE r3)."""
+    import ray.data as rd
+
+    from logcrawler_ray.stages.cc import cluster_losers_ds
+
+    pairs = rd.from_arrow(pa.table({"a": pa.array([1], pa.int64()),
+                                    "b": pa.array([2], pa.int64())}))
+    idmap = rd.from_arrow(pa.table({"__id64": pa.array([1], pa.int64()),
+                                    "image_id": ["img1"]}))  # 2 missing
+    with pytest.raises(Exception, match="idmap"):
+        cluster_losers_ds(pairs, idmap).materialize()

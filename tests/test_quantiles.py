@@ -78,3 +78,33 @@ def test_quantile_sketch_constant_column(ray_session):
     sk = quantile_sketch(ds, "v", nbins=64)
     assert sk["total"] == 100 and sk["counts"][0] == 100
     assert sketch_quantiles(sk, [0.01, 0.5, 1.0]) == [7.5, 7.5, 7.5]
+
+
+def test_grouped_percentiles_ignores_null_values(ray_session):
+    """quantile_disc ignores NULL/NaN values; null group keys form ONE
+    output run, not per-row NaN runs (ADVICE r3)."""
+    import ray.data as rd
+
+    df = pd.DataFrame({
+        "g": pd.array([1, 1, 1, None, None, 2], dtype="Int64"),
+        "v": [5.0, np.nan, 1.0, 3.0, 7.0, None],
+    })
+    got = (grouped_percentiles(rd.from_pandas(df, override_num_blocks=3),
+                               "g", "v", {"p50": 0.5}).to_pandas())
+    by_key = {(None if pd.isna(r["g"]) else int(r["g"])): r["p50"]
+              for _, r in got.iterrows()}
+    # g=1: values {5,1} -> p50=1; null group: {3,7} -> 3; g=2: all-null
+    # values -> group vanishes (its rows were dropped pre-shuffle)
+    assert by_key == {1: 1.0, None: 3.0}
+
+
+def test_quantile_sketch_rejects_non_finite(ray_session):
+    import ray.data as rd
+
+    for bad in (np.nan, np.inf):
+        ds = rd.from_pandas(pd.DataFrame({"v": [1.0, bad, 2.0]}))
+        # inf trips the driver-side range check (ValueError); NaN can slip
+        # past arrow min/max and trips the in-task guard (RayTaskError
+        # wrapping the ValueError) — both must refuse loudly
+        with pytest.raises(Exception, match="non-finite"):
+            quantile_sketch(ds, "v", nbins=16)

@@ -189,3 +189,20 @@ def test_stratified_sample_hash_deterministic(ray_session):
               .groupby("lang", sort=False).head(10))
     assert sorted(out["doc_id"]) == sorted(expect["doc_id"])
     assert out.groupby("lang").size().max() <= 10
+
+
+def test_topk_per_group_null_key_kept(ray_session):
+    """A NULL group key is a real partition under SQL ROW_NUMBER() — the
+    prune must keep it (ADVICE r3: pandas groupby dropna default)."""
+    import ray.data as rd
+
+    df = pd.DataFrame({
+        "g": pd.array([1, 1, None, None, None, 2], dtype="Int64"),
+        "v": [5.0, 1.0, 9.0, 8.0, 7.0, 2.0],
+        "id": np.arange(6, dtype=np.int64),
+    })
+    out = topk_per_group(rd.from_pandas(df, override_num_blocks=3),
+                         group_col="g", order_col="v", k=2,
+                         descending=True, tiebreak_cols=("id",)).to_pandas()
+    # null group contributes its top-2 (v=9,8 -> ids 2,3)
+    assert sorted(out["id"]) == [0, 1, 2, 3, 5]
