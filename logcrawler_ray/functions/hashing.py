@@ -39,6 +39,28 @@ def hash64_str_array(values, seed: int = 0) -> np.ndarray:
     return out
 
 
+def md5_hash64(s: str) -> int:
+    """First 8 bytes of md5, little-endian — bit-identical to DuckDB 1.0's
+    ``md5_number_upper(s)``, so hashes built on this are replayable inside
+    a SQL oracle (q21's minhash/simhash gate)."""
+    from hashlib import md5
+
+    return int.from_bytes(
+        md5(s.encode("utf-8", "surrogatepass")).digest()[:8], "little")
+
+
+def md5_hash64_array(values) -> np.ndarray:
+    """Iterable of str -> uint64 ndarray of :func:`md5_hash64`."""
+    from hashlib import md5
+
+    out = np.empty(len(values), dtype=_U64)
+    fb = int.from_bytes
+    for i, s in enumerate(values):
+        out[i] = fb(md5(s.encode("utf-8", "surrogatepass")).digest()[:8],
+                    "little")
+    return out
+
+
 def splitmix64(x: np.ndarray | int) -> np.ndarray | int:
     """SplitMix64 finalizer — a strong, vectorizable integer mixer."""
     scalar = not isinstance(x, np.ndarray)

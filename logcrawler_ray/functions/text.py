@@ -97,11 +97,20 @@ def word_ngrams(text: str, n: int = 3) -> list[str]:
     return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
 
 
-def shingle_hashes(text: str, n: int = 3) -> np.ndarray:
-    """Distinct word n-gram shingles -> uint64 hashes (for minhash/jaccard)."""
+def shingle_hashes(text: str, n: int = 3,
+                   hasher: str = "blake2b") -> np.ndarray:
+    """Distinct word n-gram shingles -> uint64 hashes (for minhash/jaccard).
+
+    ``hasher="md5sql"`` switches to :func:`..hashing.md5_hash64` — bit-
+    identical to DuckDB's ``md5_number_upper``, which lets a SQL oracle
+    replay the hashes exactly (q21)."""
     grams = set(word_ngrams(text, n))
     if not grams:
         return np.zeros(0, dtype=np.uint64)
+    if hasher == "md5sql":
+        from .hashing import md5_hash64_array
+
+        return md5_hash64_array(list(grams))
     out = np.fromiter((hash64_str(g) for g in grams), dtype=np.uint64, count=len(grams))
     return out
 

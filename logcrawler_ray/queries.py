@@ -558,40 +558,90 @@ def q56_neardup_components(sf_dir: str):
     return cc_labels_dataset(eds)
 
 
-@_q("q57_phash_cluster_dedup")
-def q57_phash_cluster_dedup(sf_dir: str):
-    """Image near-dup CLUSTER dedup over the synthetic corpus: decode ->
-    phash -> Hamming pairs with STRING image ids (stages/hamming.py) ->
-    connected components -> first-wins losers; returns the surviving
-    representatives. Rows-only (phash of the qjpeg stand-in decode is not
-    SQL-expressible), deterministic."""
-    import pyarrow.parquet as pq
+@_q(
+    "q57_cluster_dedup_firstwins",
+    f"""
+    WITH RECURSIVE codes AS (
+      SELECT 'v' || lpad(CAST(vec_id AS VARCHAR), 8, '0') AS sid,
+             CAST({_SIGNCODE_SQL} AS BIGINT) AS code FROM embeddings
+    ),
+    pairs AS (SELECT x.sid AS a, y.sid AS b FROM codes x, codes y
+              WHERE x.sid < y.sid AND bit_count(xor(x.code, y.code)) <= 2),
+    sym(u, v) AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+    reach(node, r) AS (
+      SELECT u, u FROM sym
+      UNION
+      SELECT s.u, reach.r FROM sym s JOIN reach ON s.v = reach.node
+    ),
+    comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+    SELECT sid FROM codes
+    WHERE sid NOT IN (SELECT node FROM comp WHERE node <> component)
+    """,
+)
+def q57_cluster_dedup_firstwins(sf_dir: str):
+    """First-wins CLUSTER dedup with STRING ids, fully distributed and
+    SQL-oracled (round-3 verdict #1; the former rows-only corpus-phash
+    variant is pytest-gated via tests/test_cc_hamming.py set-equality):
+    near-dup pairs from the pigeonhole Hamming operator over 16-bit sign
+    codes (stages/hamming.py), transitive closure + per-component
+    lexicographic-min winner via the distributed cluster_losers_ds tier
+    (stages/cc.py — the exact path ingest's neardup_pass uses for image
+    ids); survivors = corpus minus losers. The oracle replays the codes,
+    the pair predicate (bit_count(xor) <= 2), a recursive-CTE closure and
+    the VARCHAR-min winner rule."""
+    import ray
 
-    from .pipelines.ingest import decode_pipeline
-    from .sources.corpus import corpus_dataset
-    from .stages.cc import neardup_losers_str
-    from .stages.hamming import phash_near_dup_pairs
+    from .stages.cc import cluster_losers_ds
+    from .stages.hamming import hamming_pairs_ds, sign_codes, str_id64
 
-    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
-    n = max(64, min(n_docs, 256))
-    # decode WITHOUT the exact-dedup pass (ingest would already have
-    # dropped the planted dup groups this gate clusters)
-    rows = decode_pipeline(corpus_dataset(n, seed=42, batch_size=64),
-                           concurrency=None, batch_size=64, keep_bytes=False)
-    skinny = rows.select_columns(["image_id", "phash"]).materialize()
-    pairs = phash_near_dup_pairs(skinny, max_hamming=2)
-    losers = neardup_losers_str(pairs)
-    out = skinny.to_pandas()
-    out = out[~out["image_id"].isin(losers)]
-    out["n_pairs"] = len(pairs)
-    return out.sort_values("image_id").reset_index(drop=True)
+    def add_cols(batch: pa.Table) -> pa.Table:
+        sids = ["v%08d" % i for i in batch["vec_id"].to_pylist()]
+        if batch.num_rows == 0:
+            codes = np.empty(0, dtype=np.int64)
+        else:
+            mat = np.stack(batch["embedding"].to_numpy(zero_copy_only=False))
+            codes = sign_codes(mat, nbits=16).view(np.int64)
+        return pa.table({"sid": pa.array(sids, pa.string()),
+                         "code": pa.array(codes, pa.int64()),
+                         "__id64": pa.array(str_id64(sids), pa.int64())})
+
+    skinny = (_read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+              .map_batches(add_cols, batch_format="pyarrow").materialize())
+    pairs_ds, n_dropped = hamming_pairs_ds(
+        skinny, code_col="code", id_col="__id64", max_hamming=2, nbits=16)
+    if n_dropped:
+        raise RuntimeError(f"q57: {n_dropped} oversize buckets dropped — "
+                           "result would lose recall vs the oracle")
+    losers_ds = cluster_losers_ds(
+        pairs_ds, skinny.select_columns(["__id64", "sid"]),
+        id64_col="__id64", id_col="sid")
+    # losers are bounded by the paired-node count; broadcast the set and
+    # anti-filter the corpus distributed
+    loser_arr = pa.array([r["sid"] for r in losers_ds.take_all()],
+                         pa.string())
+    ref = ray.put(loser_arr)
+
+    def survivors(t: pa.Table) -> pa.Table:
+        keep = pc.invert(pc.fill_null(
+            pc.is_in(t["sid"], value_set=ray.get(ref)), False))
+        return t.filter(keep)
+
+    out = (skinny.select_columns(["sid"])
+           .map_batches(survivors, batch_format="pyarrow").to_pandas())
+    return out.sort_values("sid").reset_index(drop=True)
 
 
 # =====================================================================
 # Non-SQL-expressible operators (rows-only driver check)
 # =====================================================================
 
-@_q("q21_minhash_simhash_dups")
+def _q21_sql() -> str:
+    from .functions.sqloracle import sketch_neardup_sql
+
+    return sketch_neardup_sql(jaccard_threshold=0.2, max_hamming=3)
+
+
+@_q("q21_minhash_simhash_dups", _q21_sql())
 def q21_minhash_simhash_dups(sf_dir: str):
     """BOTH sketch-based near-dup paths in one gate (merged former q22 so
     each stays inside the driver's 50-entry grading window): MinHash+LSH
@@ -600,17 +650,23 @@ def q21_minhash_simhash_dups(sf_dir: str):
     (Manku, Jain & Das Sarma, WWW'07), which also keeps the pigeonhole
     blocks 16 bits wide so recall is exact with no hot-bucket drops —
     distinguished by ``method`` (score = jaccard or hamming).
-    Deterministic; no SQL oracle (sketch-based)."""
+
+    FULL SQL oracle (round-3 verdict #1): shingle/token hashes use the
+    DuckDB-replayable md5 hash (hasher='md5sql'), and the oracle replays
+    the exact minhash signatures, splitmix64 band buckets, candidate set,
+    Jaccard verification and simhash codes in SQL
+    (functions/sqloracle.py) — the sketches themselves are hash-gated,
+    not just the pair counts."""
     from .stages.dedup_text import (minhash_lsh_candidates,
                                     simhash_near_dup_pairs,
                                     verify_jaccard_pairs)
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    cands = minhash_lsh_candidates(ds, k=64, bands=16)
-    mh = verify_jaccard_pairs(ds, cands, threshold=0.2)
+    cands = minhash_lsh_candidates(ds, k=64, bands=16, hasher="md5sql")
+    mh = verify_jaccard_pairs(ds, cands, threshold=0.2, hasher="md5sql")
     mh = pd.DataFrame({"method": "minhash_lsh", "a": mh["a"], "b": mh["b"],
                        "score": mh["jaccard"].round(4)})
-    sh = simhash_near_dup_pairs(ds, max_hamming=3)
+    sh = simhash_near_dup_pairs(ds, max_hamming=3, hasher="md5sql")
     sh = pd.DataFrame({"method": "simhash", "a": sh["a"], "b": sh["b"],
                        "score": sh["hamming"].astype(float)})
     out = pd.concat([mh, sh], ignore_index=True)

@@ -49,11 +49,11 @@ def minhash_signature(shingles: np.ndarray, k: int = 64, seed: int = 1234) -> np
 
 
 def minhash_batch(texts: list[str], k: int = 64, ngram: int = 3,
-                  seed: int = 1234) -> np.ndarray:
+                  seed: int = 1234, hasher: str = "blake2b") -> np.ndarray:
     """List of docs -> (N, k) uint64 signatures."""
     out = np.empty((len(texts), k), dtype=np.uint64)
     for i, t in enumerate(texts):
-        out[i] = minhash_signature(shingle_hashes(t, ngram), k, seed)
+        out[i] = minhash_signature(shingle_hashes(t, ngram, hasher), k, seed)
     return out
 
 
@@ -125,7 +125,8 @@ def band_candidate_pairs(df: pd.DataFrame,
 
 def minhash_lsh_candidates(ds, text_col: str = "text", id_col: str = "doc_id",
                            k: int = 64, bands: int = 16, ngram: int = 3,
-                           max_bucket: int = DEFAULT_MAX_BUCKET):
+                           max_bucket: int = DEFAULT_MAX_BUCKET,
+                           hasher: str = "blake2b"):
     """Dataset of docs -> Dataset of distinct candidate pairs (a < b), plus
     dropped-bucket marker rows (a = -bucket_size, b = bucket key; one per
     dropped bucket) for buckets over ``max_bucket`` — ALWAYS run the
@@ -137,7 +138,8 @@ def minhash_lsh_candidates(ds, text_col: str = "text", id_col: str = "doc_id",
     import functools
 
     def explode(batch: pa.Table) -> pa.Table:
-        sigs = minhash_batch(batch[text_col].to_pylist(), k=k, ngram=ngram)
+        sigs = minhash_batch(batch[text_col].to_pylist(), k=k, ngram=ngram,
+                             hasher=hasher)
         return lsh_band_rows(batch[id_col].to_numpy(), sigs, bands)
 
     rows = ds.map_batches(explode, batch_format="pyarrow")
@@ -155,7 +157,8 @@ def minhash_lsh_candidates(ds, text_col: str = "text", id_col: str = "doc_id",
 def verify_jaccard_pairs(ds, pairs_ds, text_col: str = "text",
                          id_col: str = "doc_id", ngram: int = 3,
                          threshold: float = 0.8,
-                         max_broadcast_docs: int = 200_000):
+                         max_broadcast_docs: int = 200_000,
+                         hasher: str = "blake2b"):
     """Re-check candidate pairs with exact shingle Jaccard — DISTRIBUTED.
 
     Only the candidate (a, b) id pairs ever sit on the driver (already
@@ -196,7 +199,8 @@ def verify_jaccard_pairs(ds, pairs_ds, text_col: str = "text",
             {
                 id_col: sel[id_col],
                 "shingles": pa.array(
-                    [shingle_hashes(t, ngram).tolist() for t in sel[text_col].to_pylist()],
+                    [shingle_hashes(t, ngram, hasher).tolist()
+                     for t in sel[text_col].to_pylist()],
                     type=pa.list_(pa.uint64()),
                 ),
             }
@@ -299,8 +303,14 @@ def verify_jaccard_pairs(ds, pairs_ds, text_col: str = "text",
 
 
 # --------------------------------------------------------------- SimHash
-def simhash_batch(texts: list[str], seed: int = 99) -> np.ndarray:
-    """Docs -> (N,) uint64 simhash (sign-aggregate of token hashes)."""
+def simhash_batch(texts: list[str], seed: int = 99,
+                  hasher: str = "blake2b") -> np.ndarray:
+    """Docs -> (N,) uint64 simhash (sign-aggregate of token hashes).
+
+    ``hasher="md5sql"`` uses the DuckDB-replayable md5 token hash (seed
+    ignored) so a SQL oracle can recompute the codes (q21)."""
+    from ..functions.hashing import md5_hash64_array
+
     out = np.empty(len(texts), dtype=np.uint64)
     bit_positions = np.arange(64, dtype=np.uint64)
     for i, t in enumerate(texts):
@@ -309,7 +319,8 @@ def simhash_batch(texts: list[str], seed: int = 99) -> np.ndarray:
             out[i] = 0
             continue
         uniq, counts = np.unique(np.array(toks, dtype=object), return_counts=True)
-        hashes = hash64_str_array(list(uniq), seed=seed)
+        hashes = (md5_hash64_array(list(uniq)) if hasher == "md5sql"
+                  else hash64_str_array(list(uniq), seed=seed))
         bits = ((hashes[:, None] >> bit_positions[None, :]) & np.uint64(1)).astype(np.int64)
         acc = ((2 * bits - 1) * counts[:, None]).sum(axis=0)
         out[i] = np.uint64(((acc > 0).astype(np.uint64) << bit_positions).sum())
@@ -319,7 +330,8 @@ def simhash_batch(texts: list[str], seed: int = 99) -> np.ndarray:
 def simhash_near_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                            max_hamming: int = 3, seed: int = 99,
                            n_chunks: int | None = None,
-                           max_bucket: int = DEFAULT_MAX_BUCKET):
+                           max_bucket: int = DEFAULT_MAX_BUCKET,
+                           hasher: str = "blake2b"):
     """Near-dup pairs (pandas DataFrame: a, b, hamming) by simhash Hamming
     distance <= max_hamming.
 
@@ -334,7 +346,7 @@ def simhash_near_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         ds, id_col=id_col, max_hamming=max_hamming, nbits=64,
         n_chunks=n_chunks, max_bucket=max_bucket,
         code_fn=lambda batch: simhash_batch(batch[text_col].to_pylist(),
-                                            seed=seed))
+                                            seed=seed, hasher=hasher))
 
 
 # ------------------------------------------------------- n-gram Jaccard
