@@ -326,7 +326,8 @@ def ingest(source_ds, store: ImageStore | None = None, pid: str = "ingest", *,
 
 def neardup_pass(store: ImageStore, base_pid: str, pid: str | None = None, *,
                  max_hamming: int = 2, max_bucket: int = 4096,
-                 max_driver_pairs: int = 500_000) -> str:
+                 max_driver_pairs: int = 500_000,
+                 num_loser_files: int = 16) -> str:
     """NEAR-dup cluster dedup post-pass over a committed partition.
 
     Third dedup tier after exact phash dedup: a column-pruned
@@ -345,9 +346,12 @@ def neardup_pass(store: ImageStore, base_pid: str, pid: str | None = None, *,
       resolve the hashed ids back to strings — the common case, no extra
       Ray rounds.
     - above it: fully distributed — :func:`..stages.cc.cluster_losers_ds`
-      (star-contraction CC + co-grouped id resolution) writes the sorted
-      loser file from a worker; the driver never holds a pair, a label or
-      a loser (:meth:`ImageStore.commit_delete_view_file`).
+      (star-contraction CC + co-grouped id resolution), then losers route
+      by id-hash into ``num_loser_files`` buckets and each bucket's task
+      writes its own sorted+unique loser file (the exact_losers_files
+      shape — round-3 verdict: no single-writer funnel); the driver never
+      holds a pair, a label or a loser
+      (:meth:`ImageStore.commit_delete_view_files`).
 
     Both tiers drop the SAME set (CC and the min-string winner rule do not
     depend on the id hashing), so tier choice never changes results.
@@ -372,8 +376,12 @@ def neardup_pass(store: ImageStore, base_pid: str, pid: str | None = None, *,
                          "__id64": pa.array(
                              str_id64(t["image_id"].to_pylist()))})
 
+    # LAZY on purpose (round-3 verdict: a materialize here pins ~40 B+id
+    # per corpus row in the object store — ~1 TB at 10^10 rows). The two
+    # consumers (pair generation, id resolution) are one column-pruned
+    # re-read each, and str_id64 is cheap to recompute.
     skinny = (store.read_dataset(base_pid, columns=["image_id", "phash"])
-              .map_batches(add_id64, batch_format="pyarrow").materialize())
+              .map_batches(add_id64, batch_format="pyarrow"))
     pairs_ds, n_dropped = hamming_pairs_ds(
         skinny, code_col="phash", id_col="__id64",
         max_hamming=max_hamming, max_bucket=max_bucket)
@@ -406,36 +414,43 @@ def neardup_pass(store: ImageStore, base_pid: str, pid: str | None = None, *,
                                  meta={**meta, "tier": "driver"})
         return pid
 
-    # distributed tier: losers never transit the driver
+    # distributed tier: losers never transit the driver. Each id-hash
+    # bucket writes its OWN file (ids co-locate by hash, so per-file
+    # unique implies globally disjoint files) — no single-writer funnel.
     import tempfile
 
-    import pyarrow.parquet as pq
+    from ..stages.dedup import _bucket_of
 
-    losers_ds = cluster_losers_ds(pairs_ds, skinny, id64_col="__id64",
-                                  id_col="image_id")
+    losers_ds = cluster_losers_ds(pairs_ds,
+                                  skinny.select_columns(["__id64", "image_id"]),
+                                  id64_col="__id64", id_col="image_id")
     store._assert_sink_visible()  # worker writes into store.root below
     loser_dir = tempfile.mkdtemp(prefix="neardup-losers-", dir=store.root)
-    path = os.path.join(loser_dir, "losers.parquet")
+
+    def rebucket(t: pa.Table) -> pa.Table:
+        return t.append_column("__g", _bucket_of(t["image_id"],
+                                                 num_loser_files))
 
     def write_file(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:  # empty sort-boundary block
+            return pa.table({"path": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        gix = int(g["__g"][0].as_py())
         arr = pc.unique(g["image_id"].combine_chunks())
         arr = arr.take(pc.sort_indices(arr))
-        write_fragment(pa.table({"image_id": arr}), path)
-        return pa.table({"n": pa.array([len(arr)], pa.int64())})
+        fpath = os.path.join(loser_dir, f"losers-{gix:05d}.parquet")
+        write_fragment(pa.table({"image_id": arr}), fpath)
+        return pa.table({"path": pa.array([fpath], pa.string()),
+                         "n": pa.array([len(arr)], pa.int64())})
 
-    wrote = (losers_ds.map_batches(
-        lambda t: t.append_column("__g", pa.array(
-            np.zeros(t.num_rows, dtype=np.int32))), batch_format="pyarrow")
-        .groupby("__g").map_groups(write_file, batch_format="pyarrow")
-        .take_all())
+    wrote = (losers_ds.map_batches(rebucket, batch_format="pyarrow")
+             .groupby("__g").map_groups(write_file, batch_format="pyarrow")
+             .take_all())
     try:
-        if wrote:
-            store.commit_delete_view_file(pid, base_pid, path,
-                                          key_col="image_id",
-                                          meta={**meta, "tier": "distributed"})
-        else:  # every pair node resolved to the same survivor somehow
-            store.commit_delete_view(pid, base_pid, [], key_col="image_id",
-                                     meta={**meta, "tier": "distributed"})
+        store.commit_delete_view_files(
+            pid, base_pid, [r["path"] for r in wrote], key_col="image_id",
+            meta={**meta, "tier": "distributed",
+                  "loser_files": len(wrote)})
     finally:
         import shutil
 

@@ -222,22 +222,46 @@ class ImageStore:
         DISTRIBUTED loser pass (stages/dedup.py::exact_losers_files) — the
         keys never transit the driver; the count comes from the parquet
         footer. The file must already hold sorted, unique keys."""
-        n = pq.read_metadata(delete_file).num_rows
+        return self.commit_delete_view_files(pid, base_pid, [delete_file],
+                                             key_col, meta)
+
+    def commit_delete_view_files(self, pid: str, base_pid: str,
+                                 delete_files: list[str], key_col: str,
+                                 meta: dict | None = None) -> int:
+        """Multi-file variant: each file was written by a separate
+        distributed task (one per loser-hash bucket — pipelines/ingest.py
+        ::neardup_pass's distributed tier), so no single writer funnels
+        every loser. Files must be disjoint (keys co-located per file by a
+        key-hash route) with sorted, unique keys; counts come from the
+        parquet footers, keys never transit the driver."""
+        if not delete_files:
+            return self.commit_delete_view(pid, base_pid, [], key_col, meta)
+        n = sum(pq.read_metadata(f).num_rows for f in delete_files)
         tmp_dir = self._part_dir(pid) + f".tmp.{uuid.uuid4().hex}"
         os.makedirs(tmp_dir)
-        shutil.move(delete_file, os.path.join(tmp_dir, "deletes.parquet"))
-        return self._commit_view(pid, base_pid, tmp_dir, key_col, n, meta)
+        names = []
+        for i, f in enumerate(delete_files):
+            name = f"deletes-{i:05d}.parquet"
+            shutil.move(f, os.path.join(tmp_dir, name))
+            names.append(name)
+        return self._commit_view(pid, base_pid, tmp_dir, key_col, n, meta,
+                                 delete_files=names)
 
     def _commit_view(self, pid: str, base_pid: str, tmp_dir: str,
-                     key_col: str, n_deleted: int, meta: dict | None) -> int:
+                     key_col: str, n_deleted: int, meta: dict | None,
+                     delete_files: list[str] | None = None) -> int:
         rows = self.rows(base_pid) - n_deleted
         final_dir = self._part_dir(pid)
         if os.path.exists(final_dir):
             shutil.rmtree(final_dir)
         os.replace(tmp_dir, final_dir)
+        view = {"base": base_pid, "key_col": key_col}
+        if delete_files is None:
+            view["delete_file"] = "deletes.parquet"
+        else:
+            view["delete_files"] = delete_files
         manifest = {"rows": rows, "files": [],
-                    "view": {"base": base_pid, "key_col": key_col,
-                             "delete_file": "deletes.parquet"},
+                    "view": view,
                     "meta": meta or {}}
         mtmp = self._manifest_path(pid) + f".tmp.{uuid.uuid4().hex}"
         with open(mtmp, "w") as f:
@@ -256,7 +280,10 @@ class ImageStore:
         import pyarrow.compute as pc
 
         v = self._view_of(pid)
-        tab = pq.read_table(os.path.join(self._part_dir(pid), v["delete_file"]))
+        names = v.get("delete_files") or [v["delete_file"]]
+        tab = pa.concat_tables(
+            pq.read_table(os.path.join(self._part_dir(pid), n))
+            for n in names)
         return v["key_col"], pc.unique(tab[v["key_col"]].combine_chunks())
 
     @staticmethod
