@@ -83,52 +83,167 @@ def _merge_topk(cands: pd.DataFrame, k: int, id_col: str) -> pd.DataFrame:
     return top[["q_id", id_col, "rank"]].astype(np.int64).reset_index(drop=True)
 
 
-def cosine_neardup_pairs(ds, threshold: float = 0.9, id_col: str = "vec_id",
-                         vec_col: str = "embedding",
-                         block_rows: int = 8192) -> pd.DataFrame:
-    """All (a < b) pairs with cosine >= threshold — EXACT, distributed as a
-    block-pair self-join.
+# test/telemetry hook: corpus-derived rows the driver collected in the last
+# cosine_neardup_pairs_ds call. Exact route: 0 (pairs stay in the object
+# store as ObjectRef[Table]); signcode route: the candidate-id count (the
+# broadcast verify tier, bounded by candidates — never O(corpus)).
+_last_driver_rows: int = 0
 
-    The corpus is packed into ~N/block_rows normalized (ids, matrix) blocks
-    living in the OBJECT STORE (the driver streams one batch at a time while
-    packing — it never holds the corpus, the round-1 scale-killer); one Ray
-    task per block pair (i <= j) does the block-vs-block matmul and returns
-    only the found id pairs. O(B^2) tasks is inherent to exact low-threshold
-    pair generation; for high thresholds the LSH banding variants bound the
-    candidate set instead.
+
+def cosine_neardup_pairs_ds(ds, threshold: float = 0.9,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            block_rows: int = 8192, route: str = "auto",
+                            exact_max_rows: int = 200_000,
+                            n_planes: int = 16,
+                            max_code_hamming: int | None = None,
+                            seed: int = 7):
+    """Distinct (a < b, int64) pairs with cosine >= threshold, as a
+    DATASET — pairs never transit the driver (round-3 verdict #4). Two
+    routes, picked by corpus size under ``route="auto"``:
+
+    - **exact** (corpus <= ``exact_max_rows``): block-pair self-join. The
+      corpus packs into ~N/block_rows normalized (ids, matrix) object-store
+      blocks (the driver streams one batch at a time while packing); one
+      Ray task per block pair (i <= j) does the matmul and RETURNS ITS
+      pa.Table of found pairs, and the tables become the result via
+      ``from_arrow_refs`` — the driver holds ObjectRefs only. O(B^2) tasks
+      is inherent to exact low-threshold pair generation, hence the cap.
+    - **signcode** (above the cap): random-hyperplane sign codes feed the
+      pigeonhole Hamming candidate generator (stages/hamming.py — skinny
+      shuffles, bucket caps), then ONLY the candidates are verified with
+      exact float64 cosine (one broadcast of the candidate vectors).
+      Precision is exact; recall is bounded by the code family — a pair at
+      cosine exactly ``threshold`` flips each plane w.p. arccos(t)/pi, so
+      P(candidate) = P[Binom(n_planes, p) <= max_code_hamming]; the
+      default radius is mean + 2 sigma of that binomial. This is the
+      100-TB default; run the exact route on samples to audit recall.
+
+    Returns ``(pairs_ds, info)`` where info carries route/telemetry.
     """
     import ray
+    import ray.data as rd
 
-    packed = []
-    for batch in ds.select_columns([id_col, vec_col]).iter_batches(
-            batch_size=block_rows, batch_format="pyarrow"):
-        ids = batch[id_col].to_numpy().astype(np.int64)
+    global _last_driver_rows
+    _last_driver_rows = 0
+    n_total = ds.count()
+    use_exact = route == "exact" or (route == "auto"
+                                     and n_total <= exact_max_rows)
+    empty = pa.table({"a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.int64())})
+
+    if use_exact:
+        packed = []
+        for batch in ds.select_columns([id_col, vec_col]).iter_batches(
+                batch_size=block_rows, batch_format="pyarrow"):
+            ids = batch[id_col].to_numpy().astype(np.int64)
+            m = _normalize(_to_matrix(batch[vec_col]))
+            packed.append(ray.put((ids, m)))
+
+        @ray.remote(num_cpus=1)
+        def compare(a_blk, b_blk, same: bool) -> pa.Table:
+            ids_a, m_a = a_blk
+            ids_b, m_b = b_blk
+            sims = m_a @ m_b.T
+            ai, bi = np.nonzero(sims >= threshold)
+            lo = np.minimum(ids_a[ai], ids_b[bi])
+            hi = np.maximum(ids_a[ai], ids_b[bi])
+            keep = lo < hi  # drops self-pairs
+            if same:
+                keep &= ids_a[ai] < ids_b[bi]  # each unordered pair once
+            return pa.table({"a": pa.array(lo[keep], pa.int64()),
+                             "b": pa.array(hi[keep], pa.int64())})
+
+        refs = [compare.remote(packed[i], packed[j], i == j)
+                for i in range(len(packed)) for j in range(i, len(packed))]
+        pairs = (rd.from_arrow_refs(refs) if refs else rd.from_arrow(empty))
+        return pairs, {"route": "exact", "n_blocks": len(packed)}
+
+    # ---- signcode route: pigeonhole candidates + exact cosine verify
+    from .hamming import hamming_pairs_ds
+
+    p_flip = float(np.arccos(np.clip(threshold, -1.0, 1.0)) / np.pi)
+    if max_code_hamming is None:
+        mu = n_planes * p_flip
+        sd = np.sqrt(n_planes * p_flip * (1.0 - p_flip))
+        max_code_hamming = int(min(n_planes - 1, np.ceil(mu + 2.0 * sd)))
+
+    def code_fn(batch: pa.Table) -> np.ndarray:
+        if batch.num_rows == 0:
+            return np.empty(0, dtype=np.uint64)
         m = _normalize(_to_matrix(batch[vec_col]))
-        packed.append(ray.put((ids, m)))
+        # planes regenerated per batch from the fixed seed: deterministic
+        # and identical across tasks, no broadcast needed (16 x d floats)
+        planes = np.random.default_rng(seed).normal(
+            size=(n_planes, m.shape[1]))
+        return hyperplane_codes(m, planes)
 
-    @ray.remote(num_cpus=1)
-    def compare(a_blk, b_blk, same: bool):
-        ids_a, m_a = a_blk
-        ids_b, m_b = b_blk
-        sims = m_a @ m_b.T
-        ai, bi = np.nonzero(sims >= threshold)
-        lo = np.minimum(ids_a[ai], ids_b[bi])
-        hi = np.maximum(ids_a[ai], ids_b[bi])
-        keep = lo < hi  # drops self-pairs; dedupe below for same-block
-        if same:
-            keep &= ids_a[ai] < ids_b[bi]  # count each unordered pair once
-        return lo[keep], hi[keep]
+    cand_ds, n_dropped = hamming_pairs_ds(
+        ds.select_columns([id_col, vec_col]), id_col=id_col,
+        max_hamming=max_code_hamming, nbits=n_planes,
+        n_chunks=min(n_planes, max_code_hamming + 1), code_fn=code_fn)
 
-    tasks = [compare.remote(packed[i], packed[j], i == j)
-             for i in range(len(packed)) for j in range(i, len(packed))]
-    parts = ray.get(tasks)
-    if not parts:
-        return pd.DataFrame({"a": pd.Series(dtype=np.int64),
-                             "b": pd.Series(dtype=np.int64)})
-    a = np.concatenate([p[0] for p in parts])
-    b = np.concatenate([p[1] for p in parts])
-    out = pd.DataFrame({"a": a, "b": b})
-    return out.sort_values(["a", "b"]).reset_index(drop=True)
+    # candidate ids (bounded by candidate count, NOT corpus) -> one
+    # filtered corpus scan collects their vectors for the broadcast verify
+    need: set[int] = set()
+    for t in cand_ds.select_columns(["a", "b"]).iter_batches(
+            batch_format="pyarrow"):
+        need.update(t["a"].to_pylist())
+        need.update(t["b"].to_pylist())
+    _last_driver_rows = len(need)
+    if not need:
+        return rd.from_arrow(empty), {
+            "route": "signcode", "max_code_hamming": max_code_hamming,
+            "dropped_buckets": n_dropped, "n_candidate_ids": 0}
+    need_arr = pa.array(sorted(need), pa.int64())
+    need_ref = ray.put(need_arr)
+
+    def collect(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        sel = t.filter(pc.is_in(t[id_col], value_set=ray.get(need_ref)))
+        return pa.table({id_col: sel[id_col], vec_col: sel[vec_col]})
+
+    vec_tab = pa.concat_tables(ray.get(
+        ds.select_columns([id_col, vec_col])
+        .map_batches(collect, batch_format="pyarrow").to_arrow_refs()))
+    ids_v = vec_tab[id_col].combine_chunks().to_numpy().astype(np.int64)
+    mat_v = _normalize(_to_matrix(vec_tab[vec_col]))
+    order = np.argsort(ids_v)  # searchsorted below needs sorted ids
+    vref = ray.put((ids_v[order], mat_v[order]))
+
+    def verify(t: pa.Table) -> pa.Table:
+        iv, mv = ray.get(vref)
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        ia = np.searchsorted(iv, a)
+        ib = np.searchsorted(iv, b)
+        sims = np.einsum("ij,ij->i", mv[ia], mv[ib])
+        keep = sims >= threshold
+        return pa.table({"a": pa.array(a[keep], pa.int64()),
+                         "b": pa.array(b[keep], pa.int64())})
+
+    pairs = cand_ds.select_columns(["a", "b"]).map_batches(
+        verify, batch_format="pyarrow")
+    return pairs, {"route": "signcode",
+                   "max_code_hamming": max_code_hamming,
+                   "dropped_buckets": n_dropped,
+                   "n_candidate_ids": len(need)}
+
+
+def cosine_neardup_pairs(ds, threshold: float = 0.9, id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         block_rows: int = 8192,
+                         **kw) -> pd.DataFrame:
+    """:func:`cosine_neardup_pairs_ds` collected to a sorted (a, b)
+    DataFrame — for bounded contexts (tests, oracle gates) where the pair
+    list is known to fit the driver."""
+    pairs_ds, _info = cosine_neardup_pairs_ds(
+        ds, threshold=threshold, id_col=id_col, vec_col=vec_col,
+        block_rows=block_rows, **kw)
+    out = pairs_ds.to_pandas().reindex(columns=["a", "b"])
+    return (out.sort_values(["a", "b"]).reset_index(drop=True)
+            .astype({"a": np.int64, "b": np.int64}))
 
 
 # ------------------------------------------------------------------ IVF

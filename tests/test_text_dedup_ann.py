@@ -169,6 +169,54 @@ def test_cosine_neardup_blocked_matches_driver_bruteforce(ray_session, emb_df):
     assert len(expect) > 10  # the low threshold actually exercises volume
 
 
+def test_cosine_neardup_exact_route_driver_holds_no_pairs(ray_session, emb_df):
+    """Round-3 verdict #4: the exact route returns pairs as a Dataset built
+    from the compare tasks' ObjectRefs — the telemetry hook must report the
+    driver collected ZERO corpus-derived rows."""
+    import ray.data as rd
+
+    pairs_ds, info = ann.cosine_neardup_pairs_ds(
+        rd.from_pandas(emb_df), threshold=0.3, block_rows=16, route="exact")
+    assert info["route"] == "exact" and info["n_blocks"] == 5
+    assert ann._last_driver_rows == 0
+    assert pairs_ds.count() > 10  # consuming the Dataset still works
+
+
+def test_cosine_neardup_signcode_route_matches_exact(ray_session):
+    """The size-gated signcode route (pigeonhole candidates + exact cosine
+    verify) must equal the exact route on planted high-cosine near-dups:
+    at threshold 0.95 a true pair flips each plane w.p. ~0.1, and the
+    default 2-sigma radius keeps it a candidate (miss prob < 1e-6 at this
+    seed-pinned input)."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(17)
+    base = rng.normal(size=(60, 32))
+    near = base[:12] + 0.02 * rng.normal(size=(12, 32))  # cosine ~0.999
+    m = np.concatenate([base, near]).astype(np.float32)
+    df = pd.DataFrame({"vec_id": np.arange(len(m), dtype=np.int64),
+                       "embedding": [v.tolist() for v in m]})
+    ds = rd.from_pandas(df).repartition(3)
+
+    exact = ann.cosine_neardup_pairs(ds, threshold=0.95, route="exact")
+    assert len(exact) >= 12
+    got_ds, info = ann.cosine_neardup_pairs_ds(
+        ds, threshold=0.95, route="signcode", n_planes=16)
+    assert info["route"] == "signcode"
+    # driver held only candidate ids, bounded by the candidate count
+    assert 0 < ann._last_driver_rows <= 2 * (len(exact) + 50)
+    got = (got_ds.to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+           .astype({"a": np.int64, "b": np.int64}))
+    pd.testing.assert_frame_equal(got, exact)
+
+    # auto routing: small corpus -> exact; above the cap -> signcode
+    _, info_auto = ann.cosine_neardup_pairs_ds(ds, threshold=0.95)
+    assert info_auto["route"] == "exact"
+    _, info_big = ann.cosine_neardup_pairs_ds(ds, threshold=0.95,
+                                              exact_max_rows=10)
+    assert info_big["route"] == "signcode"
+
+
 def test_lsh_hot_bucket_capped(ray_session):
     """A degenerate bucket (300 identical docs) must not explode into
     ~45k pairs per band: with max_bucket=64 the bucket is dropped with a
