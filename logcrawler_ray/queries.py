@@ -170,22 +170,20 @@ def q05_nation_region(sf_dir: str):
     """,
 )
 def q06_revenue_by_nation(sf_dir: str):
-    """Star join, scale-correct shape (round-1 What's-wrong #2 fix):
-    lineitem⋈orders is fact⋈fact, so it runs as a hash-partitioned
-    ``Dataset.join`` — the #2 table is NEVER broadcast. Only the
-    dimension-sized custkey→nation-name map ships via ray.put, probed
-    vectorized; revenue is pre-aggregated per batch (combiner) so the
-    final groupby sees one row per nation per block."""
+    """Star join, scale-correct shape: BOTH fact-sized joins run as
+    hash-partitioned ``Dataset.join``s — lineitem⋈orders, then a per-batch
+    custkey combiner (one row per distinct custkey per block) joined
+    distributed against customer (round-3 What's-wrong #4: customer is
+    fact-sized at TPC-H scale, it must never become a driver dict). The
+    ONLY table that leaves the cluster is nation — 25 rows — shipped via
+    ray.put and probed vectorized."""
     import ray
     from ray.data.aggregate import Sum
 
     from .stages.broadcast import broadcast_map_from_dict, probe_values
 
-    c = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
     n = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
-    nat_name = dict(zip(n["n_nationkey"], n["n_name"]))
-    ref = broadcast_map_from_dict(
-        dict(zip(c["c_custkey"], c["c_nationkey"].map(nat_name))))
+    ref = broadcast_map_from_dict(dict(zip(n["n_nationkey"], n["n_name"])))
 
     def cents(t: pa.Table) -> pa.Table:
         price_e2 = np.round(t["l_extendedprice"].to_numpy() * 100).astype(np.int64)
@@ -200,15 +198,29 @@ def q06_revenue_by_nation(sf_dir: str):
     joined = li.join(orders, join_type="inner", num_partitions=16,
                      on=("l_orderkey",), right_on=("o_orderkey",))
 
+    def by_cust(t: pa.Table) -> pa.Table:
+        # combiner: the custkey join then moves one row per distinct
+        # custkey per block, not one per lineitem
+        df = pd.DataFrame({"o_custkey": t["o_custkey"].to_numpy(),
+                           "rev_e4": t["rev_e4"].to_numpy()})
+        g = df.groupby("o_custkey", as_index=False)["rev_e4"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    cust_rev = (joined.map_batches(by_cust, batch_format="pyarrow")
+                .join(cust, join_type="inner", num_partitions=16,
+                      on=("o_custkey",), right_on=("c_custkey",)))
+
     def partial(t: pa.Table) -> pa.Table:
         keys, vals = ray.get(ref)
-        df = pd.DataFrame({"n_name": probe_values(t["o_custkey"], keys, vals).to_pandas(),
-                           "rev_e4": t["rev_e4"].to_numpy()})
+        df = pd.DataFrame(
+            {"n_name": probe_values(t["c_nationkey"], keys, vals).to_pandas(),
+             "rev_e4": t["rev_e4"].to_numpy()})
         g = df.groupby("n_name", as_index=False)["rev_e4"].sum()
         return pa.Table.from_pandas(g, preserve_index=False)
 
     out = (
-        joined.map_batches(partial, batch_format="pyarrow")
+        cust_rev.map_batches(partial, batch_format="pyarrow")
         .groupby("n_name")
         .aggregate(Sum("rev_e4", alias_name="rev_e4"))
         .to_pandas()
