@@ -134,6 +134,40 @@ def cmd_repr_export(args) -> int:
     return 0
 
 
+def cmd_dump_frame(args) -> int:
+    """Interactive log inspection (scripts/log_debugger.py:177-178 analog):
+    dump one frame's representations — name, offset, size, and the parsed
+    proto fields where the registry knows the schema. Pure local reads via
+    the lazy payload-by-offset path (sources/naoth.py::payload); no Ray
+    session."""
+    from .codecs.protowire import WireError, parse
+    from .sources.naoth import payload, scan_records
+
+    with open(args.log, "rb") as f:
+        data = f.read()
+    idx = scan_records(data)
+    if args.frame is not None:
+        import pyarrow.compute as pc
+
+        idx = idx.filter(pc.equal(idx["frame_number"], args.frame))
+    if idx.num_rows == 0:
+        print(f"no records for frame {args.frame}", file=sys.stderr)
+        return 2
+    for row in idx.to_pylist():
+        if args.name and row["name"] != args.name:
+            continue
+        out = {"frame": row["frame_number"], "name": row["name"],
+               "offset": row["offset"], "size": row["size"]}
+        if args.parse:
+            blob = payload(data, row["offset"], row["size"])
+            try:
+                out["fields"] = parse(row["name"], blob)
+            except (WireError, KeyError) as e:
+                out["parse_error"] = str(e)
+        print(json.dumps(out, default=repr))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="logcrawler_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -183,6 +217,18 @@ def main(argv: list[str] | None = None) -> int:
     e.add_argument("--force", action="store_true")
     e.add_argument("--reverse", action="store_true")
     e.set_defaults(fn=cmd_repr_export)
+
+    d = sub.add_parser("dump-frame",
+                       help="dump one frame's representations from a binary "
+                            "log (log_debugger analog)")
+    d.add_argument("log", help="path to the binary log file")
+    d.add_argument("--frame", type=int, default=None,
+                   help="frame number (default: all frames)")
+    d.add_argument("--name", default=None,
+                   help="only this representation name")
+    d.add_argument("--parse", action="store_true",
+                   help="decode protobuf payloads where the schema is known")
+    d.set_defaults(fn=cmd_dump_frame)
 
     args = p.parse_args(argv)
     return args.fn(args)

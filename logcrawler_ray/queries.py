@@ -896,12 +896,16 @@ def q46_behavior_tree(sf_dir: str):
 def q52_image_pipeline(sf_dir: str):
     """The image-axis flagship as a gate: deterministic corpus -> actor-pool
     ResizeStage (real decode -> area resize -> PNG re-encode) -> actor-pool
-    ImageFeatures (mean RGB + 4x4 luma grid) -> brute-force cosine top-3
-    over the extracted features (stages/ann.py). Rows-only deterministic."""
+    ImageFeatures (mean RGB + 4x4 luma grid) -> actor-pool MLPScorer (the
+    ST2 stateful-model pattern with a real multi-MB weight blob loaded once
+    per actor, stages/model.py — round-3 What's-missing #2) -> brute-force
+    cosine top-3 over the extracted features (stages/ann.py), each hit
+    carrying its model score. Rows-only deterministic."""
     import ray.data as rd
 
     from .sources.corpus import corpus_table
     from .stages.ann import topk_cosine
+    from .stages.model import MLPScorer
     from .stages.multimodal import ImageFeatures, ResizeStage
 
     tab = corpus_table(96, seed=13).select(["image_id", "bytes", "w", "h", "fmt"])
@@ -910,6 +914,10 @@ def q52_image_pipeline(sf_dir: str):
           .map_batches(ResizeStage, fn_constructor_kwargs={"out_w": 16, "out_h": 12},
                        batch_format="pyarrow", batch_size=32, concurrency=2)
           .map_batches(ImageFeatures, fn_constructor_kwargs={},
+                       batch_format="pyarrow", batch_size=32, concurrency=2)
+          .map_batches(MLPScorer,
+                       fn_constructor_kwargs={"d_in": 19,
+                                              "vec_col": "features"},
                        batch_format="pyarrow", batch_size=32, concurrency=2))
 
     def project(t: pa.Table) -> pa.Table:
@@ -924,6 +932,7 @@ def q52_image_pipeline(sf_dir: str):
         ids = to_int64(hash64_str_array(t["image_id"].to_pylist()))
         return pa.table({"vec_id": pa.array(ids, pa.int64()),
                          "embedding": t["features"],
+                         "score": t["score"],
                          "n_resized_bytes": vec_id})
 
     feats = ds.map_batches(project, batch_format="pyarrow").materialize()
@@ -933,6 +942,8 @@ def q52_image_pipeline(sf_dir: str):
                    for i in range(3)])
     qids = np.array([rows[i]["vec_id"] for i in range(3)], dtype=np.int64)
     out = topk_cosine(feats, qm, qids, k=3)
+    smap = {r["vec_id"]: r["score"] for r in rows}
+    out["score"] = out["vec_id"].map(smap)
     return out.sort_values(["q_id", "rank"]).reset_index(drop=True)
 
 

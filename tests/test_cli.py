@@ -68,3 +68,32 @@ def test_cli_ingest_missing_input(ray_session, tmp_path, capsys):
     rc = main(["ingest", "--input", str(tmp_path / "nope*.parquet"),
                "--store", str(tmp_path / "s")])
     assert rc == 2
+
+
+def test_cli_dump_frame(tmp_path, capsys):
+    """dump-frame (log_debugger analog): frame filter, name filter, proto
+    parsing with the corrupt-payload error channel. No Ray session."""
+    from logcrawler_ray.codecs import protowire as pw
+    from logcrawler_ray.sources.naoth import write_records
+
+    fi = pw.encode_message({"frame_number": 7, "frame_time": 1234},
+                           pw.FRAMEINFO)
+    frames = [(7, [("FrameInfo", fi), ("Mystery", b"\xff\xfe")]),
+              (8, [("FrameInfo", fi)])]
+    log = tmp_path / "game.log"
+    log.write_bytes(write_records(frames))
+
+    rc = main(["dump-frame", str(log), "--frame", "7", "--parse"])
+    assert rc == 0
+    lines = [json.loads(x) for x in capsys.readouterr().out.splitlines()]
+    assert [x["name"] for x in lines] == ["FrameInfo", "Mystery"]
+    assert lines[0]["fields"]["frame_number"] == 7
+    assert "parse_error" in lines[1] or "fields" not in lines[1]
+
+    rc = main(["dump-frame", str(log), "--name", "FrameInfo"])
+    assert rc == 0
+    lines = [json.loads(x) for x in capsys.readouterr().out.splitlines()]
+    assert [x["frame"] for x in lines] == [7, 8]
+
+    rc = main(["dump-frame", str(log), "--frame", "99"])
+    assert rc == 2
