@@ -31,7 +31,9 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_ROWS = int(os.environ.get("GRAFT_BENCH_ROWS", "20000"))
 SEED = 42
 CODEC_VERSION = "v2"  # bump when phash/decode semantics change (cache key)
-CORPUS_CACHE = f"/tmp/graft_bench/corpus_{CODEC_VERSION}_n{BENCH_ROWS}_s{SEED}"
+CORPUS_FILES = int(os.environ.get("GRAFT_CORPUS_FILES", "64"))
+CORPUS_CACHE = (f"/tmp/graft_bench/corpus_{CODEC_VERSION}_n{BENCH_ROWS}"
+                f"_s{SEED}_f{CORPUS_FILES}")
 
 
 def ensure_corpus() -> str:
@@ -40,7 +42,8 @@ def ensure_corpus() -> str:
     marker = os.path.join(CORPUS_CACHE, "_DONE")
     if not os.path.exists(marker):
         os.makedirs(CORPUS_CACHE, exist_ok=True)
-        write_corpus_parquet(CORPUS_CACHE, BENCH_ROWS, seed=SEED, batch_size=256)
+        write_corpus_parquet(CORPUS_CACHE, BENCH_ROWS, seed=SEED, batch_size=256,
+                             num_files=CORPUS_FILES)
         with open(marker, "w") as f:
             f.write("ok")
     return CORPUS_CACHE
@@ -128,6 +131,13 @@ def run_bench() -> dict:
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    # The streaming executor reserves ~50% of the CPU budget PER OPERATOR
+    # (op_resource_reservation_ratio): in a two-op read->decode pipeline
+    # the cheap read op pins half the slots while the decode op starves.
+    # Measured on the ingest shape: 2 cpus 13.7 s -> 12.0 s, 8 cpus
+    # 4.75 s -> 4.18 s with the reservation off. Compute-dominated
+    # pipelines on a dedicated cluster want the greedy allocator.
+    ctx.op_resource_reservation_enabled = False
 
     # untimed worker warmup: fork the worker pool and import the heavy
     # deps in every worker BEFORE any timed section (the first execution

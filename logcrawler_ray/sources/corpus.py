@@ -194,12 +194,22 @@ def corpus_dataset(n_rows: int, seed: int = 42, batch_size: int = 512):
 
 
 def write_corpus_parquet(path: str, n_rows: int, seed: int = 42,
-                         batch_size: int = 512) -> None:
+                         batch_size: int = 512,
+                         num_files: int | None = None) -> None:
     """Materialize a corpus to parquet once (bench inputs are then re-read).
+
+    ``num_files`` controls the output file count (default: one file per
+    ~312 rows, capped at 64). A handful of giant files caps every
+    downstream reader's fan-out at len(files) tasks — the 100-TB layout
+    is MANY files sized well under the block target, so read parallelism
+    is set by the cluster, not the writer (measured: a 4-file 20k-row
+    corpus capped ingest reads at 4 tasks and halved 2->8 scaling).
 
     Dictionary encoding only on the low-cardinality columns (same policy
     as ``sources.store.write_fragment``): pyarrow's default dictionary
     pass hashes every multi-KB payload for nothing, and dictionary-encoded
     binary also reads ~25% slower."""
-    corpus_dataset(n_rows, seed, batch_size).write_parquet(
+    if num_files is None:
+        num_files = max(1, min(64, n_rows // 312))
+    corpus_dataset(n_rows, seed, batch_size).repartition(num_files).write_parquet(
         path, use_dictionary=["host", "fmt"])

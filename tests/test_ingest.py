@@ -110,6 +110,34 @@ def test_dedup_within_batch():
     assert out["image_id"].to_pylist() == ["b", "c", "a"]
 
 
+def test_loser_partials_matches_pandas_and_keeps_null_keys():
+    """The numpy loser_partials must (a) reproduce the pandas-groupby
+    semantics on non-null keys and (b) never mark a null-key row as a
+    loser (the old pandas path leaked every null-key row into the local
+    loser channel via ``x != NaN``)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from logcrawler_ray.stages.dedup import loser_partials, merge_loser_partials
+
+    rng = np.random.default_rng(7)
+    keys = rng.integers(0, 40, 300).astype(object)
+    keys[rng.random(300) < 0.1] = None
+    ids = [f"id{i:04d}" for i in rng.permutation(300)]
+    t = pa.table({"k": pa.array(list(keys), type=pa.int64()), "o": ids})
+    p = loser_partials(t, "k", "o").to_pandas()
+    losers = merge_loser_partials(p, "k")
+    # oracle: first-wins per non-null key
+    df = t.to_pandas()
+    nn = df[df["k"].notna()]
+    expect = set(nn["o"]) - set(nn.sort_values("o").groupby("k")["o"].first())
+    assert losers == frozenset(expect)
+    # null-key rows never appear in any partial channel
+    assert not p["k"].isna().any()
+    # key dtype survives (the pandas path degraded int64 -> float64)
+    assert p["k"].dtype == np.int64
+
+
 def test_loser_pass_driver_collects_only_duplicates(ray_session):
     """Unique-heavy corpus: the driver-side collect in the loser pass must
     be O(duplicate keys), never O(distinct keys) — the round-2 verdict's
