@@ -187,13 +187,21 @@ def run_scaling(lo_cpus: int = 2, hi_cpus: int = 8) -> dict:
     the multi-node N->4N criterion. Both are reported.
     """
 
+    # Scaling subruns use a 2x corpus (env-overridable): at the default
+    # 20k rows the 8-cpu ingest wall is ~6 s, so the ~1 s pipeline fixed
+    # cost (executor startup + task ramp) is 15-20% of the fast level and
+    # dominates the measured efficiency; at 40k it is <8%. Steady-state
+    # throughput is the quantity the N->4N criterion is about.
+    scaling_rows = os.environ.get("GRAFT_SCALING_ROWS", str(2 * BENCH_ROWS))
+
     def one(ncpu: int, repeats: int = 1) -> dict:
         """Best-of-N per level: the workload is deterministic, so min wall
         time is the noise-robust estimator on this shared VM (observed
         run-to-run spread up to ~20% from co-tenant activity)."""
         best = None
         for _ in range(max(1, repeats)):
-            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SKIP_QUERIES="1")
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SKIP_QUERIES="1",
+                       GRAFT_BENCH_ROWS=scaling_rows)
             out = subprocess.run([sys.executable, __file__], env=env,
                                  capture_output=True, text=True, check=True).stdout
             r = json.loads(out.strip().splitlines()[-1])
@@ -208,7 +216,14 @@ def run_scaling(lo_cpus: int = 2, hi_cpus: int = 8) -> dict:
     reps = int(os.environ.get("GRAFT_SCALING_REPEATS", "2"))
     factor = hi_cpus / lo_cpus
     levels = sorted({lo_cpus, hi_cpus, 8, 32})
-    one(lo_cpus)  # warm: corpus synth + page cache, untimed
+    # corpus synthesis at FULL parallelism (PNG encode is CPU-bound; the
+    # 2-cpu warm subrun must not pay it), untimed
+    subprocess.run(
+        [sys.executable, "-c", "import bench; bench.ensure_corpus()"],
+        env=dict(os.environ, GRAFT_BENCH_ROWS=scaling_rows),
+        cwd=os.path.dirname(os.path.abspath(__file__)), check=True,
+        capture_output=True)
+    one(lo_cpus)  # warm: page cache + worker pools, untimed
     r = {c: one(c, reps if c in (lo_cpus, hi_cpus) else 1) for c in levels}
     lo, hi = r[lo_cpus], r[hi_cpus]
     eff_ingest = (lo["ingest"]["sec"] / hi["ingest"]["sec"]) / factor
