@@ -95,6 +95,47 @@ def test_simhash_hamming_small_for_similar():
     assert d_near < d_far
 
 
+def test_batch_sketches_bitexact_vs_per_doc_reference():
+    """The batch-vectorized minhash_batch/simhash_batch must be
+    bit-identical to straightforward per-doc reference implementations
+    (the q21 SQL oracle replays the exact hashes, so any drift is a
+    correctness break, not just a perf note)."""
+    from logcrawler_ray.functions.hashing import (hash64_str_array,
+                                                  md5_hash64_array)
+    from logcrawler_ray.functions.text import shingle_hashes, words
+    from logcrawler_ray.stages.dedup_text import minhash_signature
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(50)]
+    texts = [" ".join(rng.choice(vocab, rng.integers(0, 40)))
+             for _ in range(30)]
+    texts += ["", "   ", "one", texts[0], texts[1]]  # empties + exact dups
+
+    for hasher in ("blake2b", "md5sql"):
+        sigs = minhash_batch(texts, k=16, ngram=3, seed=77, hasher=hasher)
+        for i, t in enumerate(texts):
+            ref = minhash_signature(shingle_hashes(t, 3, hasher), k=16, seed=77)
+            assert (sigs[i] == ref).all(), (hasher, i)
+
+        codes = simhash_batch(texts, seed=99, hasher=hasher)
+        bit_positions = np.arange(64, dtype=np.uint64)
+        for i, t in enumerate(texts):
+            toks = words(t)
+            if not toks:
+                assert codes[i] == 0
+                continue
+            uniq, counts = np.unique(np.array(toks, dtype=object),
+                                     return_counts=True)
+            hashes = (md5_hash64_array(list(uniq)) if hasher == "md5sql"
+                      else hash64_str_array(list(uniq), seed=99))
+            bits = ((hashes[:, None] >> bit_positions[None, :])
+                    & np.uint64(1)).astype(np.int64)
+            acc = ((2 * bits - 1) * counts[:, None]).sum(axis=0)
+            ref = np.uint64(((acc > 0).astype(np.uint64)
+                             << bit_positions).sum())
+            assert codes[i] == ref, (hasher, i)
+
+
 def test_simhash_near_dup_pairs(ray_session):
     import ray.data as rd
 
