@@ -125,3 +125,34 @@ def test_closest_matches_bruteforce_any(l_times, r_times):
     for i, t in enumerate(l_time):
         best = min(zip(r_time, r_id), key=lambda p: (abs(int(t) - int(p[0])), p[1]))
         assert got[i] == best[1]
+
+
+# ------------------------------------------------------------ loser pass
+@given(st.lists(st.tuples(st.integers(min_value=0, max_value=12),
+                          st.integers(min_value=0, max_value=10_000)),
+                min_size=1, max_size=120),
+       st.integers(min_value=1, max_value=16))
+@settings(max_examples=100, deadline=None)
+def test_loser_partials_merge_matches_first_wins(pairs, batch):
+    """Any split of rows into batches: loser_partials per batch merged by
+    merge_loser_partials must equal global first-wins losers (the fused
+    ingest dedup contract, independent of batching)."""
+    import pyarrow as pa
+
+    from logcrawler_ray.stages.dedup import loser_partials, merge_loser_partials
+
+    keys = np.array([p[0] for p in pairs], dtype=np.int64)
+    # unique order values (image_id contract) with shuffled assignment
+    order = np.array([f"id{p[1]:05d}_{i:03d}" for i, p in enumerate(pairs)])
+    parts = []
+    for i in range(0, len(keys), batch):
+        t = pa.table({"k": pa.array(keys[i:i + batch]),
+                      "o": pa.array(order[i:i + batch])})
+        parts.append(loser_partials(t, "k", "o"))
+    import pandas as pd
+
+    pdf = pa.concat_tables(parts).to_pandas()
+    got = merge_loser_partials(pdf, "k")
+    df = pd.DataFrame({"k": keys, "o": order})
+    expect = set(df["o"]) - set(df.sort_values("o").groupby("k")["o"].first())
+    assert got == frozenset(expect)
