@@ -91,9 +91,14 @@ def fingerprint(text: str, base: int = 1_000_003) -> int:
 
 
 def word_ngrams(text: str, n: int = 3) -> list[str]:
+    """Word n-grams; docs with fewer than ``n`` tokens have NONE — the
+    same semantics as the SQL oracles' n-way token self-join (q21/q53
+    build grams as t0 JOIN t1 ON i+1 JOIN t2 ON i+2: a 1-2-token doc gets
+    no gram rows). The old whole-text fallback silently diverged from
+    every oracle on short docs (review finding)."""
     toks = words(text)
     if len(toks) < n:
-        return [" ".join(toks)] if toks else []
+        return []
     return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
 
 

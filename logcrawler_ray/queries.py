@@ -620,7 +620,9 @@ def q57_cluster_dedup_firstwins(sf_dir: str):
     skinny = (_read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
               .map_batches(add_cols, batch_format="pyarrow").materialize())
     pairs_ds, n_dropped = hamming_pairs_ds(
-        skinny, code_col="code", id_col="__id64", max_hamming=2, nbits=16)
+        skinny, code_col="code", id_col="__id64", max_hamming=2, nbits=16,
+        max_bucket=4096)  # 16-bit codes -> 5-bit chunks: the default 512
+    # cap trips near ~8k rows (q55 on the same shape already passes 4096)
     if n_dropped:
         raise RuntimeError(f"q57: {n_dropped} oversize buckets dropped — "
                            "result would lose recall vs the oracle")

@@ -95,8 +95,7 @@ def cosine_neardup_pairs_ds(ds, threshold: float = 0.9,
                             vec_col: str = "embedding",
                             block_rows: int = 8192, route: str = "auto",
                             exact_max_rows: int = 200_000,
-                            n_planes: int = 16,
-                            max_code_hamming: int | None = None,
+                            bands: int = 16, band_bits: int | None = None,
                             seed: int = 7):
     """Distinct (a < b, int64) pairs with cosine >= threshold, as a
     DATASET — pairs never transit the driver (round-3 verdict #4). Two
@@ -109,17 +108,25 @@ def cosine_neardup_pairs_ds(ds, threshold: float = 0.9,
       pa.Table of found pairs, and the tables become the result via
       ``from_arrow_refs`` — the driver holds ObjectRefs only. O(B^2) tasks
       is inherent to exact low-threshold pair generation, hence the cap.
-    - **signcode** (above the cap): random-hyperplane sign codes feed the
-      pigeonhole Hamming candidate generator (stages/hamming.py — skinny
-      shuffles, bucket caps), then ONLY the candidates are verified with
-      exact float64 cosine (one broadcast of the candidate vectors).
-      Precision is exact; recall is bounded by the code family — a pair at
-      cosine exactly ``threshold`` flips each plane w.p. arccos(t)/pi, so
-      P(candidate) = P[Binom(n_planes, p) <= max_code_hamming]; the
-      default radius is mean + 2 sigma of that binomial. This is the
-      100-TB default; run the exact route on samples to audit recall.
+    - **signcode** (above the cap): ``bands`` bands of ``band_bits``
+      random-hyperplane signs each; a pair is a candidate iff some band
+      matches exactly (stages/hamming.py::band_pairs_ds — skinny shuffles,
+      bucket caps), then ONLY the candidates are verified with exact
+      float64 cosine (one broadcast of the candidate vectors). Precision
+      is exact; recall follows the LSH banding curve
+      ``1 - (1 - (1-p)^r)^B`` with ``p = arccos(threshold)/pi`` (reported
+      as ``info["est_recall_at_threshold"]``; pairs ABOVE the threshold
+      recall higher). ``band_bits`` defaults to ``log2(corpus) - 4``
+      clamped to [8, 20], so expected bucket size stays O(16) regardless
+      of corpus size. A pigeonhole Hamming-ball route was structurally
+      WRONG here (review finding): a cosine-0.9 radius spans ~a third of
+      the code bits, forcing 1-3-bit chunks whose buckets all blow past
+      the cap — banding is the published shape for high-radius codes.
+      This is the 100-TB default; run the exact route on samples to audit
+      recall.
 
-    Returns ``(pairs_ds, info)`` where info carries route/telemetry.
+    Returns ``(pairs_ds, info)`` where info carries route/telemetry
+    (including ``dropped_buckets`` — callers must surface it).
     """
     import ray
     import ray.data as rd
@@ -159,29 +166,30 @@ def cosine_neardup_pairs_ds(ds, threshold: float = 0.9,
         pairs = (rd.from_arrow_refs(refs) if refs else rd.from_arrow(empty))
         return pairs, {"route": "exact", "n_blocks": len(packed)}
 
-    # ---- signcode route: pigeonhole candidates + exact cosine verify
-    from .hamming import hamming_pairs_ds
+    # ---- signcode route: banded-LSH candidates + exact cosine verify
+    from .hamming import band_pairs_ds
 
     p_flip = float(np.arccos(np.clip(threshold, -1.0, 1.0)) / np.pi)
-    if max_code_hamming is None:
-        mu = n_planes * p_flip
-        sd = np.sqrt(n_planes * p_flip * (1.0 - p_flip))
-        max_code_hamming = int(min(n_planes - 1, np.ceil(mu + 2.0 * sd)))
+    if band_bits is None:
+        band_bits = int(np.clip(
+            np.ceil(np.log2(max(n_total, 2))) - 4, 8, 20))
+    est_recall = float(
+        1.0 - (1.0 - (1.0 - p_flip) ** band_bits) ** bands)
 
-    def code_fn(batch: pa.Table) -> np.ndarray:
+    def band_fn(batch: pa.Table) -> np.ndarray:
         if batch.num_rows == 0:
-            return np.empty(0, dtype=np.uint64)
+            return np.empty((0, bands), dtype=np.uint64)
         m = _normalize(_to_matrix(batch[vec_col]))
         # planes regenerated per batch from the fixed seed: deterministic
-        # and identical across tasks, no broadcast needed (16 x d floats)
+        # and identical across tasks, no broadcast needed (B*r x d floats)
         planes = np.random.default_rng(seed).normal(
-            size=(n_planes, m.shape[1]))
-        return hyperplane_codes(m, planes)
+            size=(bands * band_bits, m.shape[1]))
+        signs = (m @ planes.T) > 0  # (N, B*r)
+        w = np.uint64(1) << np.arange(band_bits, dtype=np.uint64)
+        return signs.reshape(len(m), bands, band_bits).astype(np.uint64) @ w
 
-    cand_ds, n_dropped = hamming_pairs_ds(
-        ds.select_columns([id_col, vec_col]), id_col=id_col,
-        max_hamming=max_code_hamming, nbits=n_planes,
-        n_chunks=min(n_planes, max_code_hamming + 1), code_fn=code_fn)
+    cand_ds, n_dropped = band_pairs_ds(
+        ds.select_columns([id_col, vec_col]), band_fn, id_col=id_col)
 
     # candidate ids (bounded by candidate count, NOT corpus) -> one
     # filtered corpus scan collects their vectors for the broadcast verify
@@ -193,7 +201,8 @@ def cosine_neardup_pairs_ds(ds, threshold: float = 0.9,
     _last_driver_rows = len(need)
     if not need:
         return rd.from_arrow(empty), {
-            "route": "signcode", "max_code_hamming": max_code_hamming,
+            "route": "signcode", "bands": bands, "band_bits": band_bits,
+            "est_recall_at_threshold": est_recall,
             "dropped_buckets": n_dropped, "n_candidate_ids": 0}
     need_arr = pa.array(sorted(need), pa.int64())
     need_ref = ray.put(need_arr)
@@ -225,8 +234,9 @@ def cosine_neardup_pairs_ds(ds, threshold: float = 0.9,
 
     pairs = cand_ds.select_columns(["a", "b"]).map_batches(
         verify, batch_format="pyarrow")
-    return pairs, {"route": "signcode",
-                   "max_code_hamming": max_code_hamming,
+    return pairs, {"route": "signcode", "bands": bands,
+                   "band_bits": band_bits,
+                   "est_recall_at_threshold": est_recall,
                    "dropped_buckets": n_dropped,
                    "n_candidate_ids": len(need)}
 
@@ -238,12 +248,21 @@ def cosine_neardup_pairs(ds, threshold: float = 0.9, id_col: str = "vec_id",
     """:func:`cosine_neardup_pairs_ds` collected to a sorted (a, b)
     DataFrame — for bounded contexts (tests, oracle gates) where the pair
     list is known to fit the driver."""
-    pairs_ds, _info = cosine_neardup_pairs_ds(
+    pairs_ds, info = cosine_neardup_pairs_ds(
         ds, threshold=threshold, id_col=id_col, vec_col=vec_col,
         block_rows=block_rows, **kw)
+    if info.get("dropped_buckets"):
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "cosine_neardup_pairs: %d oversize LSH buckets dropped — "
+            "recall is reduced; raise max_bucket or band_bits",
+            info["dropped_buckets"])
     out = pairs_ds.to_pandas().reindex(columns=["a", "b"])
-    return (out.sort_values(["a", "b"]).reset_index(drop=True)
-            .astype({"a": np.int64, "b": np.int64}))
+    out = (out.sort_values(["a", "b"]).reset_index(drop=True)
+           .astype({"a": np.int64, "b": np.int64}))
+    out.attrs["info"] = info
+    return out
 
 
 # ------------------------------------------------------------------ IVF

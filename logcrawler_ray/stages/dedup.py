@@ -54,6 +54,14 @@ def loser_partials(t: pa.Table, key: str, order_col: str) -> pa.Table:
     kcol = t[key]
     if kcol.null_count:
         t = t.filter(pc.is_valid(kcol))
+    if t[order_col].null_count:
+        # the order column is the row's primary key (image_id/doc_id) —
+        # a null one is corrupt input; fail loudly rather than silently
+        # dropping the row as a loser (old pandas path) or crashing in
+        # lexsort with a dtype-dependent TypeError (review finding)
+        raise ValueError(
+            f"loser_partials: {t[order_col].null_count} null {order_col!r} "
+            "value(s) — first-wins dedup needs a non-null order key")
     kt = t.schema.field(key).type
     ot = t.schema.field(order_col).type
     n = t.num_rows
@@ -244,7 +252,23 @@ def _bucket_of(col, n: int) -> pa.Array:
             col = pc.fill_null(col, 0)
         u = splitmix64(col.to_numpy(zero_copy_only=False).astype(np.uint64))
     else:
-        u = hash64_str_array(["" if v is None else v for v in col.to_pylist()])
+        # non-integer keys (str/float/timestamp/bytes/decimal): hash a
+        # canonical string form. repr() is deterministic per value; the
+        # two gotchas are -0.0 (== 0.0 as a group key, must co-bucket)
+        # and bytes (no .encode). NaNs all repr as 'nan' -> one bucket,
+        # matching pandas dropna=False's single-NaN-group semantics.
+        def _canon(v) -> str:
+            if v is None:
+                return ""
+            if isinstance(v, str):
+                return v
+            if isinstance(v, bytes):
+                return v.decode("latin-1")
+            if isinstance(v, float) and v == 0.0:
+                return "0.0"
+            return repr(v)
+
+        u = hash64_str_array([_canon(v) for v in col.to_pylist()])
     return pa.array((u % np.uint64(n)).astype(np.int32))
 
 

@@ -185,7 +185,12 @@ def minhash_lsh_candidates(ds, text_col: str = "text", id_col: str = "doc_id",
     def explode(batch: pa.Table) -> pa.Table:
         sigs = minhash_batch(batch[text_col].to_pylist(), k=k, ngram=ngram,
                              hasher=hasher)
-        return lsh_band_rows(batch[id_col].to_numpy(), sigs, bands)
+        # docs with an EMPTY shingle set keep the all-max sentinel
+        # signature (any real shingle drives every slot under 2^61) and
+        # would all collide into one bucket per band; the SQL oracle's
+        # sig CTE has no rows for them (no grams) — exclude them here too
+        keep = sigs[:, 0] != np.iinfo(np.uint64).max
+        return lsh_band_rows(batch[id_col].to_numpy()[keep], sigs[keep], bands)
 
     rows = ds.map_batches(explode, batch_format="pyarrow")
     pairs = rows.groupby("band").map_groups(
@@ -392,11 +397,18 @@ def simhash_near_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     """
     from .hamming import hamming_near_dup_pairs
 
+    def fn(batch: pa.Table):
+        texts = batch[text_col].to_pylist()
+        codes = simhash_batch(texts, seed=seed, hasher=hasher)
+        # token-less docs carry the sentinel code 0 and would all pair
+        # with each other at Hamming 0; the SQL oracle's scode CTE has no
+        # row for them (no tokens -> no tc rows) — exclude them here too
+        keep = np.array([bool(words(t)) for t in texts], dtype=bool)
+        return codes, keep
+
     return hamming_near_dup_pairs(
         ds, id_col=id_col, max_hamming=max_hamming, nbits=64,
-        n_chunks=n_chunks, max_bucket=max_bucket,
-        code_fn=lambda batch: simhash_batch(batch[text_col].to_pylist(),
-                                            seed=seed, hasher=hasher))
+        n_chunks=n_chunks, max_bucket=max_bucket, code_fn=fn)
 
 
 # ------------------------------------------------------- n-gram Jaccard

@@ -134,12 +134,26 @@ def hamming_pairs_ds(ds, code_col: str = "code", id_col: str = "doc_id",
     bits_mask = np.uint64((1 << nbits) - 1) if nbits < 64 else np.uint64(~np.uint64(0))
 
     def explode(batch: pa.Table) -> pa.Table:
+        keep = None
         if code_fn is not None:
-            codes = np.asarray(code_fn(batch), dtype=np.uint64)
+            res = code_fn(batch)
+            if isinstance(res, tuple):  # (codes, keep_mask): rows with
+                # keep=False are excluded from pairing entirely (e.g.
+                # token-less docs, which the SQL oracles also omit)
+                codes, keep = np.asarray(res[0], dtype=np.uint64), res[1]
+            else:
+                codes = np.asarray(res, dtype=np.uint64)
         else:
             codes = to_uint64(batch[code_col].to_numpy(zero_copy_only=False))
         codes = codes & bits_mask
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if keep is not None:
+            codes, ids = codes[keep], ids[keep]
+        if (ids < 0).any():
+            raise ValueError(
+                f"hamming_pairs_ds: negative {id_col!r} — ids must be "
+                "non-negative int64 (negative ids are the dropped-bucket "
+                "marker channel and would be silently filtered)")
         n = len(ids)
         chunk_ids = np.repeat(np.arange(n_chunks, dtype=np.int32), n)
         chunks = np.concatenate(
@@ -194,6 +208,84 @@ def hamming_pairs_ds(ds, code_col: str = "code", id_col: str = "doc_id",
         raw.map_batches(lambda t: t.filter(pc.greater_equal(t["a"], 0)),
                         batch_format="pyarrow"),
         carry="hamming").materialize()
+    return pairs, int(n_dropped or 0)
+
+
+def band_pairs_ds(ds, band_fn, id_col: str = "doc_id",
+                  max_bucket: int = DEFAULT_MAX_BUCKET):
+    """Banded-LSH candidate pairs as a Dataset — for code families whose
+    match radius is too LARGE for the Hamming pigeonhole (review finding:
+    a cosine-0.9 sign-code radius needs ~n/3 of the bits, which forces
+    1-3-bit pigeonhole chunks whose buckets all blow past the cap, so
+    :func:`hamming_pairs_ds` structurally returned zero candidates at
+    exactly the scale that routes to it).
+
+    ``band_fn(batch) -> (N, B) uint64 matrix`` (or ``(matrix, keep_mask)``)
+    gives each row one VALUE per band; a pair is a candidate iff SOME band
+    matches exactly — P(candidate) = 1 - (1 - (1-p)^r)^B for per-bit flip
+    probability p and r bits per band, the classic LSH banding curve.
+    Candidates carry NO distance filter here: callers verify with the true
+    metric (exact cosine in stages/ann.py). Oversize buckets drop with
+    marker rows exactly like hamming_pairs_ds; returns
+    ``(pairs_ds(a, b), n_dropped)``.
+    """
+    import pyarrow.compute as pc
+
+    def explode(batch: pa.Table) -> pa.Table:
+        res = band_fn(batch)
+        keep = None
+        if isinstance(res, tuple):
+            vals, keep = res
+        else:
+            vals = res
+        vals = np.asarray(vals, dtype=np.uint64)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if keep is not None:
+            vals, ids = vals[keep], ids[keep]
+        if (ids < 0).any():
+            raise ValueError(
+                f"band_pairs_ds: negative {id_col!r} — ids must be "
+                "non-negative int64 (negative ids are the marker channel)")
+        n, n_bands = vals.shape
+        return pa.table({
+            "chunk": np.repeat(np.arange(n_bands, dtype=np.int32), n),
+            "value": to_int64(np.ascontiguousarray(vals.T).reshape(-1)),
+            "__id": np.tile(ids, n_bands),
+        })
+
+    def band_bucket_pairs(df: pd.DataFrame):
+        counts = df["value"].value_counts()
+        hot = counts[counts >= 2]
+        empty = pd.DataFrame({"a": [], "b": []}).astype(
+            {"a": np.int64, "b": np.int64})
+        if hot.empty:
+            return pa.Table.from_pandas(empty, preserve_index=False)
+        out = [empty]
+        for value, g in df[df["value"].isin(hot.index)].groupby("value"):
+            n = len(g)
+            if n > max_bucket:  # O(g^2) guard: dropped-bucket marker
+                chunk = np.int64(g["chunk"].iloc[0])
+                out.append(pd.DataFrame(
+                    {"a": [np.int64(-n)],
+                     "b": [np.int64((chunk << 48) ^ (value & 0xFFFFFFFFFFFF))]}))
+                continue
+            ids = np.sort(g["__id"].to_numpy())
+            ai, bi = np.triu_indices(n, k=1)
+            out.append(pd.DataFrame({"a": ids[ai], "b": ids[bi]}))
+        return pa.Table.from_pandas(pd.concat(out, ignore_index=True),
+                                    preserve_index=False)
+
+    raw = (ds.map_batches(explode, batch_format="pyarrow")
+           .groupby("chunk")
+           .map_groups(band_bucket_pairs, batch_format="pandas")
+           .materialize())
+    n_dropped = raw.map_batches(
+        lambda t: pa.table({"n": [int(pc.sum(
+            pc.less(t["a"], 0)).as_py() or 0)]}),
+        batch_format="pyarrow").sum("n")
+    pairs = distinct_pairs(
+        raw.map_batches(lambda t: t.filter(pc.greater_equal(t["a"], 0)),
+                        batch_format="pyarrow")).materialize()
     return pairs, int(n_dropped or 0)
 
 

@@ -62,13 +62,24 @@ def grouped_percentiles(ds, group_col: str, value_col: str,
         t = t.select([group_col, value_col])
         # quantile_disc ignores NULL values — drop them BEFORE the shuffle
         # (ADVICE r3: a NULL/NaN that survives to the sort is picked as a
-        # high percentile because pandas sorts NaN last).
+        # high percentile because pandas sorts NaN last). But a group must
+        # not VANISH when all its values are null (quantile_disc still
+        # emits the group with NULL percentiles — review finding), so the
+        # dropped rows leave behind one null-value marker per distinct
+        # group key per batch.
         keep = pc.is_valid(t[value_col])
         if pa.types.is_floating(t.schema.field(value_col).type):
             keep = pc.and_kleene(keep, pc.invert(
                 pc.is_nan(t[value_col])))
             keep = pc.fill_null(keep, False)
+        dropped = t.filter(pc.invert(keep))
         t = t.filter(keep)
+        if dropped.num_rows:
+            g = pc.unique(dropped[group_col])
+            t = pa.concat_tables([t, pa.table({
+                group_col: g,
+                value_col: pa.nulls(len(g),
+                                    t.schema.field(value_col).type)})])
         return t.append_column("__qb", _bucket_of(t[group_col], num_buckets))
 
     def per_bucket(df: pd.DataFrame) -> pa.Table:
@@ -88,12 +99,23 @@ def grouped_percentiles(ds, group_col: str, value_col: str,
         bounds = np.nonzero(codes[1:] != codes[:-1])[0] + 1
         starts = np.concatenate([[0], bounds])
         ends = np.concatenate([bounds, [len(codes)]])
-        ns = ends - starts
+        # null markers sort last within each group; percentiles index only
+        # the group's VALID prefix, and all-null groups emit NULL (the
+        # quantile_disc contract)
+        valid = df[value_col].notna().to_numpy()
+        nv = np.add.reduceat(valid.astype(np.int64), starts)
         out = pd.DataFrame({group_col: df[group_col].iloc[starts]
                             .reset_index(drop=True)})
+        tab = typed_from_pandas(out)
+        import pyarrow.compute as pc
+
+        has = pa.array(nv > 0)
         for name, q in qs.items():
-            out[name] = vals[starts + _disc_index(q, ns)]
-        return typed_from_pandas(out)
+            idx = starts + np.where(nv > 0, _disc_index(q, np.maximum(nv, 1)), 0)
+            col = pa.array(vals[idx])
+            tab = tab.append_column(
+                name, pc.if_else(has, col, pa.scalar(None, col.type)))
+        return tab
 
     return (ds.map_batches(tag, batch_format="pyarrow")
             .groupby("__qb").map_groups(per_bucket, batch_format="pandas"))

@@ -93,9 +93,13 @@ def test_grouped_percentiles_ignores_null_values(ray_session):
                                "g", "v", {"p50": 0.5}).to_pandas())
     by_key = {(None if pd.isna(r["g"]) else int(r["g"])): r["p50"]
               for _, r in got.iterrows()}
-    # g=1: values {5,1} -> p50=1; null group: {3,7} -> 3; g=2: all-null
-    # values -> group vanishes (its rows were dropped pre-shuffle)
-    assert by_key == {1: 1.0, None: 3.0}
+    # g=1: values {5,1} -> p50=1; null group: {3,7} -> 3; g=2: all values
+    # null -> the group still appears, with a NULL percentile (DuckDB
+    # quantile_disc emits the group; the old pre-shuffle drop made it
+    # vanish — review finding)
+    assert set(by_key) == {1, 2, None}
+    assert by_key[1] == 1.0 and by_key[None] == 3.0
+    assert pd.isna(by_key[2])
 
 
 def test_quantile_sketch_rejects_non_finite(ray_session):

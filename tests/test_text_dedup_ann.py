@@ -136,6 +136,62 @@ def test_batch_sketches_bitexact_vs_per_doc_reference():
             assert codes[i] == ref, (hasher, i)
 
 
+def test_q21_sketch_pairs_match_sql_oracle_with_short_docs(ray_session):
+    """Docs with 0/1/2 tokens must behave exactly like the SQL oracle:
+    absent from the minhash CTEs (no 3-grams -> no sig rows) and from the
+    simhash scode CTE (no tokens) — the Python side used to pair empty
+    docs with each other (all-max signatures / code 0 / union==0 ->
+    jaccard 1.0) while the oracle returned nothing (review finding)."""
+    import duckdb
+    import ray.data as rd
+
+    from logcrawler_ray.functions.sqloracle import sketch_neardup_sql
+    from logcrawler_ray.stages.dedup_text import (minhash_lsh_candidates,
+                                                  simhash_near_dup_pairs,
+                                                  verify_jaccard_pairs)
+
+    base = ("the quick brown fox jumps over the lazy dog and runs far "
+            "away into the deep dark forest tonight")
+    docs = pd.DataFrame({
+        "doc_id": np.arange(10, dtype=np.int64),
+        "text": [base, base + " again", "", "", "one", "one", "two words",
+                 "two words", base.upper(), "  "],
+    })
+    ds = rd.from_pandas(docs)
+    cands = minhash_lsh_candidates(ds, k=64, bands=16, hasher="md5sql")
+    mh = verify_jaccard_pairs(ds, cands, threshold=0.2, hasher="md5sql")
+    sh = simhash_near_dup_pairs(ds, max_hamming=3, hasher="md5sql")
+    got = pd.concat([
+        pd.DataFrame({"method": "minhash_lsh", "a": mh["a"], "b": mh["b"],
+                      "score": mh["jaccard"].round(4)}),
+        pd.DataFrame({"method": "simhash", "a": sh["a"], "b": sh["b"],
+                      "score": sh["hamming"].astype(float)}),
+    ], ignore_index=True).sort_values(["method", "a", "b"]).reset_index(drop=True)
+
+    con = duckdb.connect()
+    con.register("documents", docs)
+    want = (con.execute(sketch_neardup_sql(0.2, 3)).df()
+            .sort_values(["method", "a", "b"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got.astype({"a": np.int64, "b": np.int64, "score": float}),
+        want.astype({"a": np.int64, "b": np.int64, "score": float}))
+    # the real-dup pair must still be found, so the test is not vacuous
+    assert ((got["method"] == "minhash_lsh") & (got["a"] == 0)
+            & (got["b"] == 1)).any()
+    # <3-token docs never reach the minhash side (no 3-grams)...
+    mh_rows = got[got["method"] == "minhash_lsh"]
+    sub3 = {2, 3, 4, 5, 6, 7, 9}
+    assert not mh_rows["a"].isin(sub3).any()
+    assert not mh_rows["b"].isin(sub3).any()
+    # ...token-less docs never reach the simhash side (no scode row),
+    # but 1-2-token docs DO (they have tokens) — e.g. the "one"/"one" pair
+    sh_rows = got[got["method"] == "simhash"]
+    tokenless = {2, 3, 9}
+    assert not sh_rows["a"].isin(tokenless).any()
+    assert not sh_rows["b"].isin(tokenless).any()
+    assert ((sh_rows["a"] == 4) & (sh_rows["b"] == 5)).any()
+
+
 def test_simhash_near_dup_pairs(ray_session):
     import ray.data as rd
 
@@ -224,11 +280,12 @@ def test_cosine_neardup_exact_route_driver_holds_no_pairs(ray_session, emb_df):
 
 
 def test_cosine_neardup_signcode_route_matches_exact(ray_session):
-    """The size-gated signcode route (pigeonhole candidates + exact cosine
+    """The size-gated signcode route (banded-LSH candidates + exact cosine
     verify) must equal the exact route on planted high-cosine near-dups:
-    at threshold 0.95 a true pair flips each plane w.p. ~0.1, and the
-    default 2-sigma radius keeps it a candidate (miss prob < 1e-6 at this
-    seed-pinned input)."""
+    at cosine ~0.999 a plane flips w.p. ~0.006, so a band of 8 matches
+    w.p. ~0.95 and missing all 16 bands has prob ~1e-21 at this
+    seed-pinned input. (The old pigeonhole Hamming route was structurally
+    dead at scale — review finding — banding replaced it.)"""
     import ray.data as rd
 
     rng = np.random.default_rng(17)
@@ -242,20 +299,44 @@ def test_cosine_neardup_signcode_route_matches_exact(ray_session):
     exact = ann.cosine_neardup_pairs(ds, threshold=0.95, route="exact")
     assert len(exact) >= 12
     got_ds, info = ann.cosine_neardup_pairs_ds(
-        ds, threshold=0.95, route="signcode", n_planes=16)
+        ds, threshold=0.95, route="signcode", band_bits=8)
     assert info["route"] == "signcode"
+    assert info["dropped_buckets"] == 0
+    assert 0.0 < info["est_recall_at_threshold"] <= 1.0
     # driver held only candidate ids, bounded by the candidate count
-    assert 0 < ann._last_driver_rows <= 2 * (len(exact) + 50)
+    assert 0 < ann._last_driver_rows <= len(df)
     got = (got_ds.to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
            .astype({"a": np.int64, "b": np.int64}))
     pd.testing.assert_frame_equal(got, exact)
 
-    # auto routing: small corpus -> exact; above the cap -> signcode
+    # auto routing: small corpus -> exact; above the cap -> signcode, and
+    # the auto band_bits keeps buckets selective enough to find the dups
     _, info_auto = ann.cosine_neardup_pairs_ds(ds, threshold=0.95)
     assert info_auto["route"] == "exact"
-    _, info_big = ann.cosine_neardup_pairs_ds(ds, threshold=0.95,
-                                              exact_max_rows=10)
+    big_ds, info_big = ann.cosine_neardup_pairs_ds(ds, threshold=0.95,
+                                                   exact_max_rows=10)
     assert info_big["route"] == "signcode"
+    big = (big_ds.to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+           .astype({"a": np.int64, "b": np.int64}))
+    pd.testing.assert_frame_equal(big, exact)
+
+
+def test_cosine_neardup_signcode_rejects_negative_ids(ray_session):
+    """Negative ids collide with the marker channel; the banded generator
+    must raise instead of silently filtering those pairs (review
+    finding — the exact route accepts them, so the auto flip at
+    exact_max_rows must not silently change results)."""
+    import pytest
+    import ray.data as rd
+
+    rng = np.random.default_rng(3)
+    m = rng.normal(size=(20, 32)).astype(np.float32)
+    df = pd.DataFrame({"vec_id": np.arange(len(m), dtype=np.int64) - 5,
+                       "embedding": [v.tolist() for v in m]})
+    with pytest.raises((ValueError, Exception)) as ei:
+        ann.cosine_neardup_pairs(rd.from_pandas(df), threshold=0.95,
+                                 route="signcode", band_bits=8)
+    assert "non-negative" in str(ei.value)
 
 
 def test_lsh_hot_bucket_capped(ray_session):
