@@ -134,6 +134,83 @@ scode AS (SELECT doc_id,
           FROM sbits GROUP BY doc_id)"""
 
 
+def doc_quality_sql(table: str = "documents") -> str:
+    """The full q23 oracle: language-ID, token/stopword stats, the quality
+    score, and the Karp-Rabin+splitmix64 document fingerprint — all replayed
+    in SQL so the whole text-analysis family is hash-gated.
+
+    Parity notes (all pinned by tests/test_sql_oracle_parity.py):
+
+    - the rolling hash runs over CODEPOINTS via ``regexp_split_to_array``
+      (= utf-8 bytes only for ASCII text; the testdata is verified
+      all-ASCII, same contract as q53's tokenizer parity note);
+    - each ``* mod 2^64`` step goes through the HUGEINT hi/lo split
+      (:func:`mulmod_const`) and the splitmix64 finisher reuses the staged
+      CTE chain (:func:`_sm_stages`);
+    - ``stop_ratio`` is emitted UNROUNDED on both sides: int/int division
+      is bit-identical IEEE, while ROUND-ing it tripped Python's banker's
+      rounding vs DuckDB's half-away (1/32 -> 0.0312 vs 0.0313, measured);
+    - ``lang_pred`` ties break to the first language in (en, de, fr, es) —
+      text.lang_id updates only on a strictly greater score;
+    - the ``quality`` expression tree mirrors text.quality_score term by
+      term (same literals, same left-assoc sums) so the doubles match
+      bit-for-bit before the final ROUND(.., 6).
+    """
+    from .text import STOPWORDS
+
+    def lit(ws) -> str:
+        return ", ".join(f"'{w}'" for w in sorted(ws))
+
+    all_stop = lit(set().union(*STOPWORDS.values()))
+    # NB: splitting '' yields [''] and unicode('') = -1 — filter empties
+    # (non-empty docs never produce them) so the empty doc hashes to
+    # splitmix64(0) exactly like the Python kernel
+    kr = (f"list_reduce(list_prepend(0::HUGEINT, "
+          f"list_transform(list_filter(regexp_split_to_array(text, ''), "
+          f"c -> c != ''), c -> unicode(c)::HUGEINT)), "
+          f"(h, c) -> (h * 1000003 + c) % {_U64})")
+    lang_scores = ", ".join(
+        f"len(list_filter(list_distinct(toks), t -> t IN ({lit(STOPWORDS[lang])}))) AS s_{lang}"
+        for lang in ("en", "de", "fr", "es"))
+    sm_frag, sm_fin = _sm_stages("qk", "kr", "fp", 9, "doc_id")
+    return f"""
+WITH q0 AS (SELECT doc_id, text,
+                   regexp_extract_all(lower(text), '{WORD_RE_SQL}') AS toks,
+                   length(text) AS n_chars,
+                   length(regexp_replace(text, '[[:alnum:][:space:]]', '', 'g')) AS n_punct,
+                   ({kr})::UBIGINT AS kr
+            FROM {table}),
+qk AS (SELECT doc_id, kr FROM q0),{sm_frag},
+qs AS (SELECT doc_id, text, n_chars, n_punct, len(toks) AS n_words,
+              len(list_filter(toks, t -> t IN ({all_stop}))) AS n_stop,
+              COALESCE(list_aggregate(list_transform(toks, t -> length(t)), 'sum'), 0) AS sum_wl,
+              {lang_scores}
+       FROM q0),
+qr AS (SELECT *,
+              CASE WHEN n_words > 0 THEN n_stop / CAST(n_words AS DOUBLE) ELSE 0.0 END AS stop_raw,
+              CASE WHEN n_chars > 0 THEN n_punct / CAST(n_chars AS DOUBLE) ELSE 1.0 END AS punct_ratio,
+              CASE WHEN n_words > 0 THEN sum_wl / CAST(n_words AS DOUBLE) ELSE 0.0 END AS mean_wl,
+              LEAST(1.0, n_chars / 200.0)
+                * (CASE WHEN n_chars < 20000 THEN 1.0 ELSE 0.5 END) AS len_score
+       FROM qs)
+SELECT qr.doc_id,
+       CASE WHEN regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]') THEN 'zh'
+            WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+            WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+            WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS lang_pred,
+       n_words,
+       stop_raw AS stop_ratio,
+       ROUND(0.35 * len_score + 0.25 * LEAST(1.0, stop_raw * 4)
+             + 0.25 * (1.0 - LEAST(1.0, punct_ratio * 5))
+             + 0.15 * (CASE WHEN mean_wl >= 3.0 AND mean_wl <= 10.0
+                            THEN 1.0 ELSE 0.3 END), 6) AS quality,
+       CAST(CASE WHEN fp >= {1 << 63}::UBIGINT
+                 THEN fp::HUGEINT - {_U64} ELSE fp::HUGEINT END
+            AS BIGINT) AS fingerprint
+FROM qr JOIN {sm_fin} ON {sm_fin}.doc_id = qr.doc_id
+"""
+
+
 def sketch_neardup_sql(jaccard_threshold: float = 0.2,
                        max_hamming: int = 3) -> str:
     """The full q21 oracle: minhash+LSH candidates verified by exact

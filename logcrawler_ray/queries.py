@@ -723,11 +723,24 @@ def q53_ngram_jaccard(sf_dir: str):
     return ngram_jaccard_pairs(ds, threshold=0.2, ngram=3)
 
 
-@_q("q23_doc_quality")
+def _q23_sql() -> str:
+    from .functions.sqloracle import doc_quality_sql
+
+    return doc_quality_sql()
+
+
+@_q("q23_doc_quality", _q23_sql())
 def q23_doc_quality(sf_dir: str):
     """Language-ID heuristic + quality scoring + rolling-hash fingerprint
     per document, ONE pass (merged former q24 so every text-analysis
-    function is inside the driver's 50-entry grading window); rows-only."""
+    function is inside the driver's 50-entry grading window).
+
+    FULL SQL oracle (round-4): functions/sqloracle.py::doc_quality_sql
+    replays the tokenizer, stopword/lang scores, the quality expression
+    tree, and the Karp-Rabin+splitmix64 fingerprint (HUGEINT mod-2^64
+    arithmetic) in DuckDB. ``stop_ratio`` ships unrounded — the raw
+    int/int division is bit-identical on both sides, whereas rounding it
+    hit Python-banker's vs DuckDB-half-away ties (1/32)."""
     from .functions.hashing import to_int64
     from .functions.text import fingerprint, lang_id, quality_score
 
@@ -738,7 +751,7 @@ def q23_doc_quality(sf_dir: str):
             "doc_id": t["doc_id"],
             "lang_pred": pa.array([lang_id(x) for x in texts], pa.string()),
             "n_words": pa.array([q["n_words"] for q in qs], pa.int64()),
-            "stop_ratio": pa.array([round(q["stop_ratio"], 4) for q in qs]),
+            "stop_ratio": pa.array([q["stop_ratio"] for q in qs]),
             "quality": pa.array([q["quality"] for q in qs]),
             "fingerprint": pa.array(
                 [to_int64(fingerprint(x)) for x in texts], pa.int64()),

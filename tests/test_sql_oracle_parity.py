@@ -82,3 +82,67 @@ def test_md5sql_changes_hashes_but_not_default():
     b = shingle_hashes(t, 3, hasher="md5sql")
     assert set(a.tolist()) != set(b.tolist())
     assert np.array_equal(a, shingle_hashes(t, 3))  # default unchanged
+
+
+# ---- q23 doc-quality oracle (doc_quality_sql) -------------------------
+
+# Edge-heavy corpus: empty text, whitespace/punct-only, <1-token docs,
+# a stop-ratio that lands on an exact binary fraction (1/32 — the case
+# where ROUND() diverges between Python and DuckDB and q23 therefore
+# ships stop_ratio unrounded), long text past the 20000-char len_score
+# knee, and every language's stopwords.
+QDOCS = pd.DataFrame({
+    "doc_id": np.arange(10, dtype=np.int64),
+    "text": [
+        "",
+        "   \t\n  ",
+        "!!! ??? ;;; ...",
+        "word",
+        "the of and to in is it that for a " * 2,
+        "der die das und ist ein eine zu mit von",
+        "le la les et est un une de du pour",
+        "el la los las es un una de y para",
+        ("x" * 19999) + " the",
+        " ".join(["tok"] * 31 + ["the"]),  # stop_ratio = 1/32 exactly
+    ],
+})
+
+
+def test_doc_quality_sql_matches_python():
+    from logcrawler_ray.functions.hashing import to_int64
+    from logcrawler_ray.functions.sqloracle import doc_quality_sql
+    from logcrawler_ray.functions.text import (fingerprint, lang_id,
+                                               quality_score)
+
+    c = duckdb.connect()
+    c.register("documents", pa.Table.from_pandas(QDOCS, preserve_index=False))
+    got = (c.execute(doc_quality_sql()).df()
+           .set_index("doc_id").sort_index())
+    assert len(got) == len(QDOCS)
+    for doc_id, text in zip(QDOCS["doc_id"], QDOCS["text"]):
+        q = quality_score(text)
+        row = got.loc[doc_id]
+        assert row["lang_pred"] == lang_id(text), doc_id
+        assert row["n_words"] == q["n_words"], doc_id
+        assert row["stop_ratio"] == q["stop_ratio"], doc_id  # bit-exact
+        assert row["quality"] == q["quality"], doc_id
+        assert row["fingerprint"] == to_int64(fingerprint(text)), doc_id
+
+
+def test_doc_quality_sql_fingerprint_is_splitmix_of_karp_rabin():
+    # the fingerprint column IS splitmix64(karp_rabin(text)) — pin the
+    # HUGEINT mod-2^64 SQL against the numpy kernels on adversarial
+    # inputs (high bytes, long strings, empty)
+    from logcrawler_ray.functions.hashing import to_int64
+    from logcrawler_ray.functions.sqloracle import doc_quality_sql
+    from logcrawler_ray.functions.text import fingerprint
+
+    texts = ["", "\x7f" * 100, "a" * 5000, "don't", "0" * 63 + "1"]
+    c = duckdb.connect()
+    c.register("documents", pa.Table.from_pandas(
+        pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                      "text": texts}), preserve_index=False))
+    got = (c.execute(doc_quality_sql()).df()
+           .set_index("doc_id").sort_index())
+    for i, t in enumerate(texts):
+        assert got.loc[i, "fingerprint"] == to_int64(fingerprint(t)), i
