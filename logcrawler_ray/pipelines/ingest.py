@@ -209,10 +209,8 @@ def ingest_sharded(source_files: list[str], store: ImageStore, *,
     else:
         # bucketed 10^10 path: losers written per shard by a distributed
         # groupby — no key or loser ever transits the driver
-        import tempfile
-
         store._assert_sink_visible()  # loser files are written by workers
-        loser_dir = tempfile.mkdtemp(prefix="losers-", dir=store.root)
+        loser_dir = store.scratch_dir("losers-")
         routed = exact_losers_files(skinny, "phash", "image_id", "__shard",
                                     loser_dir, dups=dups)
         for spid in shard_ids:
@@ -223,9 +221,7 @@ def ingest_sharded(source_files: list[str], store: ImageStore, *,
             else:
                 total += store.commit_delete_view(
                     f"{pid}-view-{spid}", spid, [], key_col="image_id")
-        import shutil
-
-        shutil.rmtree(loser_dir, ignore_errors=True)
+        store.rm_scratch(loser_dir)
     store.append_table(pid, pa.table({"shards": [f"{pid}-view-{s}" for s in shard_ids]}),
                        meta={"pipeline": "ingest", "rows_total": total})
     return pid
@@ -417,15 +413,13 @@ def neardup_pass(store: ImageStore, base_pid: str, pid: str | None = None, *,
     # distributed tier: losers never transit the driver. Each id-hash
     # bucket writes its OWN file (ids co-locate by hash, so per-file
     # unique implies globally disjoint files) — no single-writer funnel.
-    import tempfile
-
     from ..stages.dedup import _bucket_of
 
     losers_ds = cluster_losers_ds(pairs_ds,
                                   skinny.select_columns(["__id64", "image_id"]),
                                   id64_col="__id64", id_col="image_id")
-    store._assert_sink_visible()  # worker writes into store.root below
-    loser_dir = tempfile.mkdtemp(prefix="neardup-losers-", dir=store.root)
+    store._assert_sink_visible()  # worker writes into store scratch below
+    loser_dir = store.scratch_dir("neardup-losers-")
 
     def rebucket(t: pa.Table) -> pa.Table:
         return t.append_column("__g", _bucket_of(t["image_id"],
@@ -452,7 +446,5 @@ def neardup_pass(store: ImageStore, base_pid: str, pid: str | None = None, *,
             meta={**meta, "tier": "distributed",
                   "loser_files": len(wrote)})
     finally:
-        import shutil
-
-        shutil.rmtree(loser_dir, ignore_errors=True)
+        store.rm_scratch(loser_dir)
     return pid

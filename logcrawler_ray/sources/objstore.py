@@ -1,0 +1,400 @@
+"""ObjectStore — the ImageStore table layout on an OBJECT STORE.
+
+Same duck-type interface as :class:`..sources.store.ImageStore` (the
+pipelines only ever call the shared surface: ``is_done / partitions /
+rows / append_* / external_tmp / commit_external / commit_delete_view* /
+read_* / merge_insert / rewrite_partition / scratch_dir``), but written
+against fsspec so ``root`` can be ``s3://bucket/prefix``,
+``gs://…``, ``memory://…`` (protocol tests), or ``file://…`` — the
+multi-node story the local backend's ``shared_fs`` contract only
+documents (SCALE.md §6a; reference pushes artifacts to MinIO,
+patch_exporter/main.py:117-145).
+
+Object stores have NO atomic rename, so the commit protocol differs from
+the local backend's tmp-dir ``os.replace``:
+
+- Data objects are IMMUTABLE, written once under
+  ``data/<pid>/stage-<uuid>/*.parquet`` and never moved.
+- A manifest PUT is the ONLY commit point (single-object PUT is atomic /
+  last-writer-wins on S3/GCS/ABS): ``_manifests/<pid>.json`` lists the
+  exact root-relative keys of the partition's fragments. Readers resolve
+  files through the manifest ONLY — a crashed writer leaves unreferenced
+  garbage objects that are invisible to every reader and reclaimable by
+  :meth:`gc`.
+- Upsert (:meth:`merge_insert`) is METADATA-ONLY for untouched
+  fragments: the new manifest re-references their existing keys (the
+  local backend must hard-link; here zero bytes move).
+
+Nothing in this module calls rename/move — guarded by a raising-FS test
+(tests/test_objstore.py).
+"""
+
+from __future__ import annotations
+
+import json
+import posixpath
+import uuid
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .store import ImageStore, write_fragment
+
+
+def open_store(root: str, compression: str = "none", **kw):
+    """Factory: fsspec URL -> :class:`ObjectStore`; plain path (or
+    ``file://``) -> the local :class:`ImageStore` fast path."""
+    if "://" in root and not root.startswith("file://"):
+        return ObjectStore(root, compression=compression)
+    if root.startswith("file://"):
+        root = root[len("file://"):]
+    return ImageStore(root, compression=compression, **kw)
+
+
+class ObjectStore:
+    """Partitioned table store on an fsspec filesystem with manifest-last
+    atomic commits (no renames — see module docstring)."""
+
+    def __init__(self, root_url: str, compression: str = "none", fs=None):
+        import fsspec
+
+        if fs is None:
+            fs, root = fsspec.core.url_to_fs(root_url)
+        else:
+            root = fs._strip_protocol(root_url)
+        self.fs = fs
+        self.root = root_url.rstrip("/")
+        self._rootp = root.rstrip("/")
+        self.compression = compression
+        self.shared_fs = True  # an object store is shared by definition
+        proto = fs.protocol if isinstance(fs.protocol, str) else fs.protocol[0]
+        self._proto = proto
+        try:
+            fs.makedirs(self._key("_manifests"), exist_ok=True)
+        except Exception:
+            pass  # pure object stores have no directories
+
+    # -- key/url helpers -----------------------------------------------------
+    def _key(self, *parts: str) -> str:
+        return posixpath.join(self._rootp, *parts)
+
+    def _url(self, key: str) -> str:
+        """fsspec URL for a root-relative or absolute key (what remote
+        TASKS use to re-open the same filesystem)."""
+        if self._proto in ("file", "local"):
+            return key  # plain path: task-side writes stay on the os fast path
+        return f"{self._proto}://{key}"
+
+    def _manifest_key(self, pid: str) -> str:
+        return self._key("_manifests", f"{pid}.json")
+
+    def _stage_key(self, pid: str) -> str:
+        return self._key("data", pid, f"stage-{uuid.uuid4().hex}")
+
+    def _new_stage(self, pid: str) -> str:
+        """Fresh immutable staging prefix; directory pre-created only on
+        directory-ful filesystems (pure object stores need none)."""
+        stage = self._stage_key(pid)
+        if self._proto in ("file", "local"):
+            self.fs.makedirs(stage, exist_ok=True)
+        return stage
+
+    def _pafs(self):
+        """pyarrow FileSystem view of self.fs (for ray.data / pq readers)."""
+        from pyarrow.fs import FSSpecHandler, PyFileSystem
+
+        if self._proto in ("file", "local"):
+            from pyarrow.fs import LocalFileSystem
+
+            return LocalFileSystem()
+        return PyFileSystem(FSSpecHandler(self.fs))
+
+    # -- commit protocol -----------------------------------------------------
+    def is_done(self, pid: str) -> bool:
+        return self.fs.exists(self._manifest_key(pid))
+
+    def partitions(self) -> list[str]:
+        try:
+            names = self.fs.ls(self._key("_manifests"), detail=False)
+        except FileNotFoundError:
+            return []
+        return sorted(
+            posixpath.basename(k)[: -len(".json")]
+            for k in names if k.endswith(".json"))
+
+    def manifest(self, pid: str) -> dict:
+        return json.loads(self.fs.cat_file(self._manifest_key(pid)))
+
+    def rows(self, pid: str | None = None) -> int:
+        pids = [pid] if pid else self.partitions()
+        return sum(self.manifest(p)["rows"] for p in pids)
+
+    def _put_manifest(self, pid: str, manifest: dict) -> None:
+        """THE commit point: one atomic object PUT, nothing else."""
+        self.fs.pipe_file(self._manifest_key(pid),
+                          json.dumps(manifest).encode())
+
+    def _footer_rows(self, keys: list[str]) -> int:
+        pafs = self._pafs()
+        total = 0
+        for k in keys:
+            with pafs.open_input_file(k) as f:
+                total += pq.read_metadata(f).num_rows
+        return total
+
+    # -- writers --------------------------------------------------------------
+    def append_table(self, pid: str, table: pa.Table, meta: dict | None = None) -> None:
+        stage = self._new_stage(pid)
+        key = posixpath.join(stage, "part-0.parquet")
+        write_fragment(table, self._url(key), compression=self.compression)
+        self._put_manifest(pid, {"rows": table.num_rows, "files": [key],
+                                 "meta": meta or {}})
+
+    def append_dataset(self, pid: str, ds, meta: dict | None = None) -> int:
+        stage = self._new_stage(pid)
+        if self._proto in ("file", "local"):
+            ds.write_parquet(stage, compression=self.compression)
+        else:
+            ds.write_parquet(stage, filesystem=self._pafs(),
+                             compression=self.compression)
+        keys = [k for k in self.fs.ls(stage, detail=False) if k.endswith(".parquet")]
+        rows = self._footer_rows(keys)
+        self._put_manifest(pid, {"rows": rows, "files": sorted(keys),
+                                 "meta": meta or {}})
+        return rows
+
+    def external_tmp(self, pid: str) -> str:
+        """Staging prefix (URL) that fused-sink TASKS write parquet objects
+        into directly — on an object store the 'tmp dir' IS the final,
+        immutable location: commit just references the keys (no move)."""
+        return self._url(self._new_stage(pid))
+
+    def _assert_sink_visible(self) -> None:
+        return  # every node sees the object store
+
+    def commit_external(self, pid: str, tmp_dir: str, meta: dict | None = None) -> int:
+        stage = self.fs._strip_protocol(tmp_dir)
+        keys = sorted(k for k in self.fs.ls(stage, detail=False)
+                      if k.endswith(".parquet"))
+        rows = self._footer_rows(keys)
+        self._put_manifest(pid, {"rows": rows, "files": keys, "meta": meta or {}})
+        self.gc(pid)
+        return rows
+
+    def gc(self, pid: str) -> int:
+        """Delete data objects of ``pid`` not referenced by its manifest
+        (crashed stages, superseded upsert fragments). Safe any time AFTER
+        commit: readers only follow manifest keys. Returns objects removed."""
+        live: set[str] = set()
+        if self.is_done(pid):
+            m = self.manifest(pid)
+            live = set(m.get("files", []))
+            v = m.get("view")
+            if v:
+                live |= set(v.get("delete_files") or [])
+        pdir = self._key("data", pid)
+        try:
+            have = [k for k in self.fs.find(pdir) if k.endswith(".parquet")]
+        except FileNotFoundError:
+            return 0
+        dead = [k for k in have if k not in live]
+        for k in dead:
+            self.fs.rm_file(k)
+        return len(dead)
+
+    # -- scratch space (distributed loser passes) ------------------------------
+    def scratch_dir(self, prefix: str) -> str:
+        d = self._key("_scratch", f"{prefix}{uuid.uuid4().hex}")
+        if self._proto in ("file", "local"):
+            self.fs.makedirs(d, exist_ok=True)
+        return self._url(d)
+
+    def rm_scratch(self, path: str) -> None:
+        try:
+            self.fs.rm(self.fs._strip_protocol(path), recursive=True)
+        except FileNotFoundError:
+            pass
+
+    # -- delete-vector views ----------------------------------------------------
+    def commit_delete_view(self, pid: str, base_pid: str, delete_keys,
+                           key_col: str, meta: dict | None = None) -> int:
+        keys = sorted(set(delete_keys))
+        stage = self._new_stage(pid)
+        dkey = posixpath.join(stage, "deletes.parquet")
+        write_fragment(pa.table({key_col: keys}), self._url(dkey),
+                       compression=self.compression)
+        return self._commit_view(pid, base_pid, [dkey], key_col, len(keys), meta)
+
+    def commit_delete_view_file(self, pid: str, base_pid: str, delete_file: str,
+                                key_col: str, meta: dict | None = None) -> int:
+        return self.commit_delete_view_files(pid, base_pid, [delete_file],
+                                             key_col, meta)
+
+    def commit_delete_view_files(self, pid: str, base_pid: str,
+                                 delete_files: list[str], key_col: str,
+                                 meta: dict | None = None) -> int:
+        """Loser files written by distributed tasks (under a scratch
+        prefix on THIS filesystem): server-side copy into the view's stage
+        (an object COPY, no byte download), then manifest-last commit."""
+        if not delete_files:
+            return self.commit_delete_view(pid, base_pid, [], key_col, meta)
+        stage = self._new_stage(pid)
+        names, keys = [], []
+        for i, f in enumerate(delete_files):
+            src = self.fs._strip_protocol(f)
+            dst = posixpath.join(stage, f"deletes-{i:05d}.parquet")
+            self.fs.copy(src, dst)
+            names.append(dst)
+            keys.append(dst)
+        n = self._footer_rows(keys)
+        return self._commit_view(pid, base_pid, names, key_col, n, meta)
+
+    def _commit_view(self, pid: str, base_pid: str, delete_keys_files: list[str],
+                     key_col: str, n_deleted: int, meta: dict | None) -> int:
+        rows = self.rows(base_pid) - n_deleted
+        self._put_manifest(pid, {
+            "rows": rows, "files": [],
+            "view": {"base": base_pid, "key_col": key_col,
+                     "delete_files": delete_keys_files},
+            "meta": meta or {}})
+        return rows
+
+    def _view_of(self, pid: str) -> dict | None:
+        return self.manifest(pid).get("view")
+
+    def _delete_keys(self, pid: str) -> tuple[str, pa.Array]:
+        import pyarrow.compute as pc
+
+        v = self._view_of(pid)
+        pafs = self._pafs()
+        tabs = []
+        for k in v["delete_files"]:
+            with pafs.open_input_file(k) as f:
+                tabs.append(pq.read_table(f))
+        tab = pa.concat_tables(tabs)
+        return v["key_col"], pc.unique(tab[v["key_col"]].combine_chunks())
+
+    # -- readers ------------------------------------------------------------
+    def files(self, pid: str | None = None) -> list[str]:
+        out: list[str] = []
+        for p in [pid] if pid else self.partitions():
+            m = self.manifest(p)
+            if m.get("view"):
+                out.extend(self.files(m["view"]["base"]))
+            else:
+                out.extend(m["files"])
+        return out
+
+    def read_dataset(self, pid: str | None = None, columns: list[str] | None = None):
+        import ray.data as rd
+
+        if pid is not None and self._view_of(pid):
+            key_col, dropped = self._delete_keys(pid)
+            base = self._view_of(pid)["base"]
+            cols = columns
+            if cols is not None and key_col not in cols:
+                cols = [*cols, key_col]
+            ds = self.read_dataset(base, columns=cols)
+            import ray
+
+            ref = ray.put(dropped)
+            anti = ImageStore._anti_view
+
+            def anti_fn(t: pa.Table) -> pa.Table:
+                return anti(t, key_col, ray.get(ref), columns)
+
+            return ds.map_batches(anti_fn, batch_format="pyarrow")
+        files = self.files(pid)
+        if not files:
+            return rd.from_arrow(pa.table({}))
+        return rd.read_parquet(files, columns=columns, filesystem=self._pafs())
+
+    def read_table(self, pid: str | None = None, columns: list[str] | None = None) -> pa.Table:
+        if pid is not None and self._view_of(pid):
+            key_col, dropped = self._delete_keys(pid)
+            base = self._view_of(pid)["base"]
+            cols = columns
+            if cols is not None and key_col not in cols:
+                cols = [*cols, key_col]
+            tab = self.read_table(base, columns=cols)
+            return ImageStore._anti_view(tab, key_col, dropped, columns)
+        files = self.files(pid)
+        if not files:
+            return pa.table({})
+        pafs = self._pafs()
+        tabs = []
+        for k in files:
+            with pafs.open_input_file(k) as f:
+                tabs.append(pq.read_table(f, columns=columns))
+        return pa.concat_tables(tabs)
+
+    # -- upsert ----------------------------------------------------------------
+    def merge_insert(self, pid: str, updates: pa.Table, key: str) -> None:
+        """Upsert by key. Untouched fragments are re-referenced in the new
+        manifest AS-IS (zero copies, zero moves — strictly better than the
+        local backend's hard links); only fragments containing an updated
+        key are rewritten into a fresh stage."""
+        import pyarrow.compute as pc
+
+        if not self.is_done(pid):
+            self.append_table(pid, updates)
+            return
+        if self._view_of(pid):
+            current = self.read_table(pid)
+            upd = pa.array(sorted(set(updates[key].to_pylist())))
+            kept = current.filter(pc.invert(pc.is_in(current[key], value_set=upd)))
+            merged = pa.concat_tables([kept, updates.select(current.column_names)])
+            self.append_table(pid, merged, meta=self.manifest(pid).get("meta"))
+            return
+        m = self.manifest(pid)
+        pafs = self._pafs()
+        schema_names = None
+        upd_keys = pa.array(sorted(set(updates[key].to_pylist())))
+        stage = self._new_stage(pid)
+        new_files, rows = [], 0
+        for f in m["files"]:
+            with pafs.open_input_file(f) as fh:
+                keys_only = pq.read_table(fh, columns=[key])
+                if schema_names is None:
+                    fh.seek(0)
+                    schema_names = pq.read_schema(fh).names
+            hit = pc.sum(pc.is_in(keys_only[key], value_set=upd_keys)).as_py() or 0
+            if hit == 0:
+                new_files.append(f)  # metadata-only survival
+                rows += keys_only.num_rows
+                continue
+            with pafs.open_input_file(f) as fh:
+                frag = pq.read_table(fh)
+            kept = frag.filter(pc.invert(pc.is_in(frag[key], value_set=upd_keys)))
+            if kept.num_rows:
+                nk = posixpath.join(stage, posixpath.basename(f))
+                write_fragment(kept, self._url(nk), compression=self.compression)
+                new_files.append(nk)
+                rows += kept.num_rows
+        up = updates.select(schema_names or updates.column_names)
+        uk = posixpath.join(stage, f"upsert-{uuid.uuid4().hex}.parquet")
+        write_fragment(up, self._url(uk), compression=self.compression)
+        new_files.append(uk)
+        self._put_manifest(pid, {"rows": rows + up.num_rows,
+                                 "files": sorted(new_files),
+                                 "meta": m.get("meta", {})})
+        self.gc(pid)
+
+    def rewrite_partition(self, pid: str, fragment_fn, meta: dict | None = None) -> int:
+        m = self.manifest(pid)
+        pafs = self._pafs()
+        stage = self._new_stage(pid)
+        new_files, rows = [], 0
+        for f in m["files"]:
+            with pafs.open_input_file(f) as fh:
+                out = fragment_fn(pq.read_table(fh))
+            if out.num_rows:
+                nk = posixpath.join(stage, posixpath.basename(f))
+                write_fragment(out, self._url(nk), compression=self.compression)
+                new_files.append(nk)
+                rows += out.num_rows
+        self._put_manifest(pid, {"rows": rows, "files": sorted(new_files),
+                                 "meta": meta if meta is not None
+                                 else m.get("meta", {})})
+        self.gc(pid)
+        return rows

@@ -55,10 +55,22 @@ _DICT_COLS = frozenset({"host", "fmt", "resolution", "lang", "name", "label"})
 
 def write_fragment(table: pa.Table, path: str, compression: str = "none") -> None:
     """Hot-path parquet fragment writer (task-side sinks + store commits):
-    dictionary encoding only where it pays (see ``_DICT_COLS``)."""
+    dictionary encoding only where it pays (see ``_DICT_COLS``).
+
+    ``path`` may be an fsspec URL (``s3://…``, ``memory://…``) — the
+    ObjectStore backend hands fused-sink tasks a staging URL and each task
+    PUTs its fragment directly; plain paths keep the local fast path."""
+    use_dict = [n for n in table.column_names if n in _DICT_COLS]
+    if "://" in path:
+        import fsspec
+
+        fs, key = fsspec.core.url_to_fs(path)
+        with fs.open(key, "wb") as f:
+            pq.write_table(table, f, compression=compression,
+                           use_dictionary=use_dict)
+        return
     pq.write_table(table, path, compression=compression,
-                   use_dictionary=[n for n in table.column_names
-                                   if n in _DICT_COLS])
+                   use_dictionary=use_dict)
 
 
 class ImageStore:
@@ -166,6 +178,16 @@ class ImageStore:
                     f"multi-node cluster ({len(alive)} alive nodes); "
                     "construct ImageStore(root, shared_fs=True) only if "
                     "every node mounts the same path")
+
+    def scratch_dir(self, prefix: str) -> str:
+        """Worker-visible scratch space for distributed loser passes
+        (same shared-root contract as :meth:`external_tmp`)."""
+        import tempfile
+
+        return tempfile.mkdtemp(prefix=prefix, dir=self.root)
+
+    def rm_scratch(self, path: str) -> None:
+        shutil.rmtree(path, ignore_errors=True)
 
     def commit_external(self, pid: str, tmp_dir: str, meta: dict | None = None) -> int:
         """Atomically commit files tasks wrote into ``tmp_dir``; row count

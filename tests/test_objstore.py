@@ -1,0 +1,207 @@
+"""ObjectStore (sources/objstore.py): the manifest-last object-store
+commit protocol — rename-free by construction, crash-invisible staging,
+metadata-only upserts — plus drop-in parity with ImageStore under the
+real ingest pipeline.
+
+memory:// exercises the pure protocol single-process; the Ray end-to-end
+runs on file:// (fsspec LocalFileSystem) because memory:// state is
+per-process and Ray tasks write from workers.
+"""
+
+import posixpath
+import uuid
+
+import pyarrow as pa
+import pytest
+from fsspec.implementations.memory import MemoryFileSystem
+
+from logcrawler_ray.sources.objstore import ObjectStore, open_store
+from logcrawler_ray.sources.store import ImageStore, write_fragment
+
+
+def _st(**kw) -> ObjectStore:
+    return ObjectStore(f"memory://objstore-{uuid.uuid4().hex}", **kw)
+
+
+def test_append_read_rows_partitions():
+    st = _st()
+    t = pa.table({"image_id": ["a", "b", "c"], "v": [1, 2, 3]})
+    st.append_table("p1", t, meta={"k": "v"})
+    assert st.is_done("p1") and not st.is_done("p2")
+    assert st.partitions() == ["p1"]
+    assert st.rows("p1") == 3 and st.rows() == 3
+    assert st.manifest("p1")["meta"] == {"k": "v"}
+    assert st.read_table("p1").sort_by("image_id").equals(t)
+
+
+def test_crash_before_manifest_is_invisible_and_gc_reclaims():
+    st = _st()
+    stage = st.external_tmp("p")
+    write_fragment(pa.table({"image_id": ["x"], "v": [9]}),
+                   posixpath.join(stage, "part-0.parquet"))
+    # crashed writer: data object exists, no manifest -> partition absent
+    assert not st.is_done("p")
+    assert st.partitions() == []
+    with pytest.raises(FileNotFoundError):  # same contract as ImageStore
+        st.read_table("p")
+    assert st.read_table().num_rows == 0  # whole-store read skips garbage
+    assert st.gc("p") == 1  # reclaimable garbage
+    assert st.gc("p") == 0
+
+
+def test_commit_external_footer_counts_and_gc_of_stale_stage():
+    st = _st()
+    # a stale stage from a crashed earlier attempt
+    stale = st.external_tmp("p")
+    write_fragment(pa.table({"image_id": ["old"]}),
+                   posixpath.join(stale, "part-0.parquet"))
+    stage = st.external_tmp("p")
+    for i, ids in enumerate((["a", "b"], ["c"])):
+        write_fragment(pa.table({"image_id": ids, "v": list(range(len(ids)))}),
+                       posixpath.join(stage, f"part-{i}.parquet"))
+    assert st.commit_external("p", stage) == 3
+    assert st.rows("p") == 3
+    # commit swept the stale stage's object; only live keys remain
+    live = set(st.manifest("p")["files"])
+    assert {k for k in st.fs.find(st._key("data", "p"))
+            if k.endswith(".parquet")} == live
+    assert sorted(st.read_table("p")["image_id"].to_pylist()) == ["a", "b", "c"]
+
+
+def test_delete_view_and_empty_view():
+    st = _st()
+    st.append_table("base", pa.table({"image_id": ["a", "b", "c"], "v": [1, 2, 3]}))
+    assert st.commit_delete_view("v1", "base", ["b"], key_col="image_id") == 2
+    assert st.rows("v1") == 2
+    assert sorted(st.read_table("v1")["image_id"].to_pylist()) == ["a", "c"]
+    # empty delete vector: view == base
+    assert st.commit_delete_view("v0", "base", [], key_col="image_id") == 3
+    assert st.read_table("v0").num_rows == 3
+    # column pruning through the view
+    assert st.read_table("v1", columns=["v"]).column_names == ["v"]
+
+
+def test_commit_delete_view_files_copies_from_scratch():
+    st = _st()
+    st.append_table("base", pa.table({"image_id": ["a", "b", "c", "d"]}))
+    scratch = st.scratch_dir("losers-")
+    f1 = posixpath.join(scratch, "losers-0.parquet")
+    f2 = posixpath.join(scratch, "losers-1.parquet")
+    write_fragment(pa.table({"image_id": ["b"]}), f1)
+    write_fragment(pa.table({"image_id": ["d"]}), f2)
+    assert st.commit_delete_view_files("v", "base", [f1, f2],
+                                       key_col="image_id") == 2
+    st.rm_scratch(scratch)
+    assert sorted(st.read_table("v")["image_id"].to_pylist()) == ["a", "c"]
+
+
+def test_merge_insert_is_metadata_only_for_untouched_fragments():
+    st = _st()
+    stage = st.external_tmp("p")
+    write_fragment(pa.table({"image_id": ["a", "b"], "v": [1, 2]}),
+                   posixpath.join(stage, "part-0.parquet"))
+    write_fragment(pa.table({"image_id": ["c", "d"], "v": [3, 4]}),
+                   posixpath.join(stage, "part-1.parquet"))
+    st.commit_external("p", stage)
+    before = set(st.manifest("p")["files"])
+    st.merge_insert("p", pa.table({"image_id": ["c", "e"], "v": [30, 5]}),
+                    key="image_id")
+    after = st.manifest("p")
+    # part-0 (untouched) is re-referenced by KEY — zero bytes moved
+    untouched = before & set(after["files"])
+    assert len(untouched) == 1 and "part-0" in next(iter(untouched))
+    assert after["rows"] == 5
+    got = dict(zip(st.read_table("p")["image_id"].to_pylist(),
+                   st.read_table("p")["v"].to_pylist()))
+    assert got == {"a": 1, "b": 2, "c": 30, "d": 4, "e": 5}
+    # superseded part-1 was gc'd
+    assert {k for k in st.fs.find(st._key("data", "p"))
+            if k.endswith(".parquet")} == set(after["files"])
+
+
+def test_rewrite_partition():
+    st = _st()
+    st.append_table("p", pa.table({"image_id": ["a", "b"], "v": [1, 2]}))
+
+    def widen(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.append_column("v2", pc.multiply(t["v"], 10))
+
+    assert st.rewrite_partition("p", widen) == 2
+    assert st.read_table("p")["v2"].to_pylist() == [10, 20]
+
+
+class _NoRenameFS(MemoryFileSystem):
+    """Object-store stand-in that FORBIDS rename/move — the protocol must
+    never need one (S3/GCS have no atomic rename)."""
+
+    def mv(self, *a, **kw):  # fsspec routes rename/move through mv
+        raise AssertionError("object-store protocol must not rename")
+
+    def rename(self, *a, **kw):
+        raise AssertionError("object-store protocol must not rename")
+
+    def mv_file(self, *a, **kw):
+        raise AssertionError("object-store protocol must not rename")
+
+
+def test_protocol_is_rename_free():
+    fs = _NoRenameFS()
+    st = ObjectStore(f"memory://norename-{uuid.uuid4().hex}", fs=fs)
+    st.append_table("p", pa.table({"image_id": ["a", "b"], "v": [1, 2]}))
+    stage = st.external_tmp("q")
+    write_fragment(pa.table({"image_id": ["c"], "v": [3]}),
+                   posixpath.join(stage, "part-0.parquet"))
+    st.commit_external("q", stage)
+    st.commit_delete_view("qv", "q", ["c"], key_col="image_id")
+    scratch = st.scratch_dir("l-")
+    f = posixpath.join(scratch, "x.parquet")
+    write_fragment(pa.table({"image_id": ["a"]}), f)
+    st.commit_delete_view_files("pv", "p", [f], key_col="image_id")
+    st.merge_insert("p", pa.table({"image_id": ["z"], "v": [9]}), key="image_id")
+    st.rewrite_partition("p", lambda t: t)
+    assert st.rows("p") == 3 and st.rows("qv") == 0
+
+
+def test_open_store_factory(tmp_path):
+    assert isinstance(open_store("memory://x"), ObjectStore)
+    assert isinstance(open_store(str(tmp_path / "loc")), ImageStore)
+    assert isinstance(open_store(f"file://{tmp_path}/loc2"), ImageStore)
+
+
+def test_write_fragment_url_and_plain(tmp_path):
+    t = pa.table({"a": [1, 2]})
+    write_fragment(t, str(tmp_path / "x.parquet"))
+    fs = MemoryFileSystem()
+    write_fragment(t, f"memory:///wf-{uuid.uuid4().hex}.parquet")
+    import pyarrow.parquet as pq
+
+    assert pq.read_table(str(tmp_path / "x.parquet")).equals(t)
+
+
+def test_ingest_drop_in_parity_with_imagestore(ray_session, tmp_path):
+    """The REAL ingest pipeline (fused decode+sink+dedup delete-view) runs
+    unchanged against ObjectStore on file:// — tasks PUT fragments into
+    the staging prefix; commit is the manifest write. Survivor sets must
+    match the local backend bit-for-bit."""
+    from logcrawler_ray.pipelines.ingest import ingest
+    from logcrawler_ray.sources.corpus import corpus_dataset
+
+    ost = ObjectStore(f"file://{tmp_path}/obj")
+    ingest(corpus_dataset(96, seed=11, batch_size=32), store=ost,
+           concurrency=2, batch_size=32, pid="run")
+    lst = ImageStore(str(tmp_path / "img"))
+    ingest(corpus_dataset(96, seed=11, batch_size=32), store=lst,
+           concurrency=2, batch_size=32, pid="run")
+    a = sorted(ost.read_table("run")["image_id"].to_pylist())
+    b = sorted(lst.read_table("run")["image_id"].to_pylist())
+    assert a == b and len(a) > 0
+    assert ost.rows("run") == lst.rows("run")
+    # resume is a manifest stat: second run is a no-op
+    ingest(corpus_dataset(96, seed=11, batch_size=32), store=ost,
+           concurrency=2, batch_size=32, pid="run")
+    assert ost.rows("run") == len(a)
+    # distributed read path (ray.data over the store's filesystem)
+    ds = ost.read_dataset("run", columns=["image_id", "phash"])
+    assert ds.count() == len(a)
