@@ -378,20 +378,12 @@ class CrawlEngine:
         # whose higher wave numbers would make CheckpointDir._prune delete
         # the NEW run's checkpoints and resume() continue the OLD crawl.
         import os
-        import shutil
-
-        def _drop_partition(store: ImageStore, pid: str) -> None:
-            try:
-                os.remove(store._manifest_path(pid))
-            except OSError:
-                pass
-            shutil.rmtree(store._part_dir(pid), ignore_errors=True)
 
         for pid in self.log_store.partitions():
-            _drop_partition(self.log_store, pid)
+            self.log_store.drop_partition(pid)
         for pid in self.store.partitions():
             if pid.startswith("wave-"):
-                _drop_partition(self.store, pid)
+                self.store.drop_partition(pid)
         for f in os.listdir(self.ckpt.root):
             if f.startswith("wave-") and f.endswith(".ckpt"):
                 try:

@@ -3,7 +3,8 @@
 Same duck-type interface as :class:`..sources.store.ImageStore` (the
 pipelines only ever call the shared surface: ``is_done / partitions /
 rows / append_* / external_tmp / commit_external / commit_delete_view* /
-read_* / merge_insert / rewrite_partition / scratch_dir``), but written
+read_* / merge_insert / rewrite_partition / scratch_dir /
+drop_partition``), but written
 against fsspec so ``root`` can be ``s3://bucket/prefix``,
 ``gs://…``, ``memory://…`` (protocol tests), or ``file://…`` — the
 multi-node story the local backend's ``shared_fs`` contract only
@@ -41,11 +42,44 @@ import pyarrow.parquet as pq
 from .store import ImageStore, write_fragment
 
 
+def _merge_one_fragment(fs_or_url, frag_key: str, dst_key: str, key: str,
+                        upd_keys, compression: str):
+    """One fragment of :meth:`ObjectStore.merge_insert` — runs serially on
+    the driver or fanned out as a ``ray.remote`` task (per-fragment GET
+    latency is highest exactly on remote stores, so the wide upsert must
+    not be O(fragments) serial round trips).
+
+    Key-column scan first; an untouched fragment is re-referenced AS-IS
+    (metadata-only). Returns ``(live_key | None, rows)``."""
+    import pyarrow.compute as pc
+
+    if isinstance(fs_or_url, str):
+        import fsspec
+
+        fs, _ = fsspec.core.url_to_fs(fs_or_url)
+    else:
+        fs = fs_or_url
+    with fs.open(frag_key, "rb") as fh:
+        keys_only = pq.read_table(fh, columns=[key])
+    hit = pc.sum(pc.is_in(keys_only[key], value_set=upd_keys)).as_py() or 0
+    if hit == 0:
+        return frag_key, keys_only.num_rows
+    with fs.open(frag_key, "rb") as fh:
+        frag = pq.read_table(fh)
+    kept = frag.filter(pc.invert(pc.is_in(frag[key], value_set=upd_keys)))
+    if not kept.num_rows:
+        return None, 0
+    proto = fs.protocol if isinstance(fs.protocol, str) else fs.protocol[0]
+    url = dst_key if proto in ("file", "local") else f"{proto}://{dst_key}"
+    write_fragment(kept, url, compression=compression)
+    return dst_key, kept.num_rows
+
+
 def open_store(root: str, compression: str = "none", **kw):
     """Factory: fsspec URL -> :class:`ObjectStore`; plain path (or
     ``file://``) -> the local :class:`ImageStore` fast path."""
     if "://" in root and not root.startswith("file://"):
-        return ObjectStore(root, compression=compression)
+        return ObjectStore(root, compression=compression, **kw)
     if root.startswith("file://"):
         root = root[len("file://"):]
     return ImageStore(root, compression=compression, **kw)
@@ -55,9 +89,13 @@ class ObjectStore:
     """Partitioned table store on an fsspec filesystem with manifest-last
     atomic commits (no renames — see module docstring)."""
 
-    def __init__(self, root_url: str, compression: str = "none", fs=None):
+    def __init__(self, root_url: str, compression: str = "none", fs=None,
+                 shared_fs: bool = True):
         import fsspec
 
+        if not shared_fs:
+            raise ValueError("an object store is shared by definition; "
+                             "shared_fs=False is contradictory here")
         if fs is None:
             fs, root = fsspec.core.url_to_fs(root_url)
         else:
@@ -130,9 +168,26 @@ class ObjectStore:
         return sum(self.manifest(p)["rows"] for p in pids)
 
     def _put_manifest(self, pid: str, manifest: dict) -> None:
-        """THE commit point: one atomic object PUT, nothing else."""
-        self.fs.pipe_file(self._manifest_key(pid),
-                          json.dumps(manifest).encode())
+        """THE commit point: one atomic object PUT, nothing else.
+
+        Single-object PUT is atomic on real object stores (S3/GCS/ABS);
+        a plain filesystem mounted via ``fs`` has NO atomic in-place
+        write, so there we fall back to the local protocol's
+        tmp+fsync+os.replace (rename is fine on a filesystem — the
+        rename-free contract is for stores that lack one)."""
+        payload = json.dumps(manifest).encode()
+        if self._proto in ("file", "local"):
+            import os
+
+            dst = self._manifest_key(pid)
+            tmp = dst + f".tmp.{uuid.uuid4().hex}"
+            with open(tmp, "wb") as f:
+                f.write(payload)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, dst)
+            return
+        self.fs.pipe_file(self._manifest_key(pid), payload)
 
     def _footer_rows(self, keys: list[str]) -> int:
         pafs = self._pafs()
@@ -157,11 +212,21 @@ class ObjectStore:
         else:
             ds.write_parquet(stage, filesystem=self._pafs(),
                              compression=self.compression)
-        keys = [k for k in self.fs.ls(stage, detail=False) if k.endswith(".parquet")]
+        keys = self._stage_files(stage)
         rows = self._footer_rows(keys)
         self._put_manifest(pid, {"rows": rows, "files": sorted(keys),
                                  "meta": meta or {}})
         return rows
+
+    def _stage_files(self, stage: str) -> list[str]:
+        """Parquet keys under a staging prefix. An empty stage is a VALID
+        zero-row commit (pure object stores have no directory object to
+        even list), not an error."""
+        try:
+            return sorted(k for k in self.fs.ls(stage, detail=False)
+                          if k.endswith(".parquet"))
+        except FileNotFoundError:
+            return []
 
     def external_tmp(self, pid: str) -> str:
         """Staging prefix (URL) that fused-sink TASKS write parquet objects
@@ -174,12 +239,24 @@ class ObjectStore:
 
     def commit_external(self, pid: str, tmp_dir: str, meta: dict | None = None) -> int:
         stage = self.fs._strip_protocol(tmp_dir)
-        keys = sorted(k for k in self.fs.ls(stage, detail=False)
-                      if k.endswith(".parquet"))
+        keys = self._stage_files(stage)
         rows = self._footer_rows(keys)
         self._put_manifest(pid, {"rows": rows, "files": keys, "meta": meta or {}})
         self.gc(pid)
         return rows
+
+    def drop_partition(self, pid: str) -> None:
+        """Uncommit + reclaim a partition (shared surface — CrawlEngine
+        resets stale wave partitions through this). Manifest delete first
+        so readers never see a half-deleted partition."""
+        try:
+            self.fs.rm_file(self._manifest_key(pid))
+        except FileNotFoundError:
+            pass
+        try:
+            self.fs.rm(self._key("data", pid), recursive=True)
+        except FileNotFoundError:
+            pass
 
     def gc(self, pid: str) -> int:
         """Delete data objects of ``pid`` not referenced by its manifest
@@ -347,31 +424,35 @@ class ObjectStore:
             self.append_table(pid, merged, meta=self.manifest(pid).get("meta"))
             return
         m = self.manifest(pid)
-        pafs = self._pafs()
-        schema_names = None
+        files = m["files"]
         upd_keys = pa.array(sorted(set(updates[key].to_pylist())))
+        if files:
+            with self._pafs().open_input_file(files[0]) as fh:
+                schema_names = pq.read_schema(fh).names
+        else:
+            schema_names = updates.column_names
         stage = self._new_stage(pid)
-        new_files, rows = [], 0
-        for f in m["files"]:
-            with pafs.open_input_file(f) as fh:
-                keys_only = pq.read_table(fh, columns=[key])
-                if schema_names is None:
-                    fh.seek(0)
-                    schema_names = pq.read_schema(fh).names
-            hit = pc.sum(pc.is_in(keys_only[key], value_set=upd_keys)).as_py() or 0
-            if hit == 0:
-                new_files.append(f)  # metadata-only survival
-                rows += keys_only.num_rows
-                continue
-            with pafs.open_input_file(f) as fh:
-                frag = pq.read_table(fh)
-            kept = frag.filter(pc.invert(pc.is_in(frag[key], value_set=upd_keys)))
-            if kept.num_rows:
-                nk = posixpath.join(stage, posixpath.basename(f))
-                write_fragment(kept, self._url(nk), compression=self.compression)
-                new_files.append(nk)
-                rows += kept.num_rows
-        up = updates.select(schema_names or updates.column_names)
+        jobs = [(f, posixpath.join(stage, posixpath.basename(f)))
+                for f in files]
+        import ray
+
+        # Fan out one task per fragment (mirrors ImageStore.merge_insert's
+        # task merge). memory:// is process-local — tasks on other workers
+        # would see a different store, so it stays serial.
+        if (ray.is_initialized() and len(jobs) > 1
+                and self._proto not in ("memory",)):
+            task = ray.remote(num_cpus=1)(_merge_one_fragment)
+            kref = ray.put(upd_keys)
+            results = ray.get([
+                task.remote(self.root, src, dst, key, kref, self.compression)
+                for src, dst in jobs])
+        else:
+            results = [_merge_one_fragment(self.fs, src, dst, key, upd_keys,
+                                           self.compression)
+                       for src, dst in jobs]
+        new_files = [k for k, _ in results if k is not None]
+        rows = sum(r for _, r in results)
+        up = updates.select(schema_names)
         uk = posixpath.join(stage, f"upsert-{uuid.uuid4().hex}.parquet")
         write_fragment(up, self._url(uk), compression=self.compression)
         new_files.append(uk)

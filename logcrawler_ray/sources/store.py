@@ -125,6 +125,15 @@ class ImageStore:
         with open(self._manifest_path(pid)) as f:
             return json.load(f)
 
+    def drop_partition(self, pid: str) -> None:
+        """Uncommit + reclaim a partition (shared surface with ObjectStore).
+        Manifest removed first so readers never see a half-deleted one."""
+        try:
+            os.remove(self._manifest_path(pid))
+        except OSError:
+            pass
+        shutil.rmtree(self._part_dir(pid), ignore_errors=True)
+
     def _commit(self, pid: str, tmp_dir: str, rows: int, meta: dict | None) -> None:
         final_dir = self._part_dir(pid)
         if os.path.exists(final_dir):

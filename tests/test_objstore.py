@@ -205,3 +205,71 @@ def test_ingest_drop_in_parity_with_imagestore(ray_session, tmp_path):
     # distributed read path (ray.data over the store's filesystem)
     ds = ost.read_dataset("run", columns=["image_id", "phash"])
     assert ds.count() == len(a)
+
+
+def test_empty_stage_commits_zero_rows():
+    """A staging prefix no task wrote to is a VALID zero-row partition on
+    a pure object store (no directory object exists to list), matching
+    ImageStore's empty-partition commit — not a FileNotFoundError crash."""
+    st = _st()
+    stage = st.external_tmp("empty")
+    assert st.commit_external("empty", stage) == 0
+    assert st.is_done("empty") and st.rows("empty") == 0
+    assert st.read_table("empty").num_rows == 0
+
+
+def test_drop_partition_both_backends(tmp_path):
+    for st in (_st(), ImageStore(str(tmp_path / "img")),
+               ObjectStore(f"file://{tmp_path}/obj")):
+        st.append_table("p", pa.table({"image_id": ["a"], "v": [1]}))
+        assert st.is_done("p")
+        st.drop_partition("p")
+        assert not st.is_done("p") and st.partitions() == []
+        st.drop_partition("p")  # idempotent
+        # data objects reclaimed, not just the manifest
+        st.append_table("p", pa.table({"image_id": ["b"], "v": [2]}))
+        assert st.read_table("p")["image_id"].to_pylist() == ["b"]
+
+
+def test_local_manifest_commit_leaves_no_tmp(tmp_path):
+    """file:// manifests go through tmp+fsync+os.replace (a half-written
+    sole commit point would poison resume forever); the final dir holds
+    exactly the committed manifests."""
+    import os
+
+    st = ObjectStore(f"file://{tmp_path}/obj")
+    st.append_table("p", pa.table({"image_id": ["a"], "v": [1]}))
+    st.merge_insert("p", pa.table({"image_id": ["b"], "v": [2]}), key="image_id")
+    names = os.listdir(tmp_path / "obj" / "_manifests")
+    assert names == ["p.json"]
+    assert st.rows("p") == 2
+
+
+def test_merge_insert_fans_out_with_ray(ray_session, tmp_path):
+    """>1 fragment on a non-memory backend: per-fragment merge runs as Ray
+    tasks (same fan-out as ImageStore), same result as the serial path."""
+    st = ObjectStore(f"file://{tmp_path}/obj")
+    stage = st.external_tmp("p")
+    for i in range(4):
+        write_fragment(pa.table({"image_id": [f"k{i}a", f"k{i}b"],
+                                 "v": [i * 2, i * 2 + 1]}),
+                       posixpath.join(stage, f"part-{i}.parquet"))
+    st.commit_external("p", stage)
+    before = set(st.manifest("p")["files"])
+    st.merge_insert("p", pa.table({"image_id": ["k2a", "new"], "v": [99, 77]}),
+                    key="image_id")
+    after = st.manifest("p")
+    assert after["rows"] == 9
+    # three untouched fragments survive by key reference
+    assert len(before & set(after["files"])) == 3
+    got = dict(zip(st.read_table("p")["image_id"].to_pylist(),
+                   st.read_table("p")["v"].to_pylist()))
+    assert got["k2a"] == 99 and got["new"] == 77 and len(got) == 9
+
+
+def test_open_store_forwards_kwargs():
+    fs = _NoRenameFS()
+    st = open_store(f"memory://fwd-{uuid.uuid4().hex}", fs=fs)
+    assert isinstance(st, ObjectStore) and st.fs is fs
+    with pytest.raises(ValueError):
+        open_store("memory://fwd2", shared_fs=False)
