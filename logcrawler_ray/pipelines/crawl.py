@@ -350,12 +350,14 @@ def _links_in_order(table: pa.Table) -> tuple[list[str], list[int]]:
 class CrawlEngine:
     def __init__(self, cfg: CrawlConfig, store_root: str, ckpt_root: str):
         self.cfg = cfg
-        self.store = ImageStore(store_root)
+        # open_store routes fsspec URLs (s3://…) to the rename-free
+        # ObjectStore backend; plain paths stay on the local fast path.
+        from ..sources.objstore import open_store
+
+        self.store = open_store(store_root)
         # fetch-log stream: one partition per wave in a sibling namespace
         # (own _manifests dir, so image readers over `store` never see it)
-        import os
-
-        self.log_store = ImageStore(os.path.join(store_root, "_fetchlog"))
+        self.log_store = open_store(store_root.rstrip("/") + "/_fetchlog")
         self.ckpt = CheckpointDir(ckpt_root)
         self.state: CrawlState | None = None
 

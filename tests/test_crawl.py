@@ -343,3 +343,24 @@ def test_route_links_fast_path():
             exp_rows.append((s, i, cu, host_of(cu), path_of(cu), d + 1))
     assert [(r["seq"], r["idx"], r["url"], r["host"], r["path"], r["depth"])
             for r in got.to_pylist()] == exp_rows
+
+
+def test_crawl_on_object_store(ray_session, serial_run, tmp_path):
+    """CrawlEngine against the rename-free ObjectStore backend (local://
+    routes open_store through fsspec LocalFileSystem — a filesystem every
+    Ray worker shares, like the real S3 deployment): wave tasks PUT
+    fragments straight into the staging prefix, commit is the manifest
+    write, and ordering + store contents must still match the serial
+    reference exactly."""
+    from logcrawler_ray.sources.objstore import ObjectStore
+
+    sc, seeds, _ = serial_run
+    cfg = CrawlConfig(**CFG)
+    eng = CrawlEngine(cfg, f"local://{tmp_path}/store", str(tmp_path / "ckpt"))
+    assert isinstance(eng.store, ObjectStore)
+    assert isinstance(eng.log_store, ObjectStore)
+    eng.run(seeds=seeds)
+    assert eng.fetch_log() == sc.fetch_order()
+    tab = eng.store.read_table(columns=["image_id", "phash"])
+    got = set(zip(tab["image_id"].to_pylist(), tab["phash"].to_pylist()))
+    assert got == {(r["image_id"], r["phash"]) for r in sc.rows}
