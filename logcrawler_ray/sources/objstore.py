@@ -164,8 +164,20 @@ class ObjectStore:
         return json.loads(self.fs.cat_file(self._manifest_key(pid)))
 
     def rows(self, pid: str | None = None) -> int:
-        pids = [pid] if pid else self.partitions()
+        pids = [pid] if pid else self._live_pids()
         return sum(self.manifest(p)["rows"] for p in pids)
+
+    def _live_pids(self) -> list[str]:
+        """Whole-store SNAPSHOT pids: a committed delete-vector view
+        supersedes its base partition (same contract as ImageStore)."""
+        pids = self.partitions()
+        shadowed = {m["view"]["base"] for m in map(self.manifest, pids)
+                    if m.get("view")}
+        return [p for p in pids if p not in shadowed]
+
+    def _snapshot_pids_if_views(self) -> list[str] | None:
+        live = self._live_pids()
+        return live if any(self._view_of(p) for p in live) else None
 
     def _put_manifest(self, pid: str, manifest: dict) -> None:
         """THE commit point: one atomic object PUT, nothing else.
@@ -354,7 +366,7 @@ class ObjectStore:
     # -- readers ------------------------------------------------------------
     def files(self, pid: str | None = None) -> list[str]:
         out: list[str] = []
-        for p in [pid] if pid else self.partitions():
+        for p in [pid] if pid else self._live_pids():
             m = self.manifest(p)
             if m.get("view"):
                 out.extend(self.files(m["view"]["base"]))
@@ -365,6 +377,18 @@ class ObjectStore:
     def read_dataset(self, pid: str | None = None, columns: list[str] | None = None):
         import ray.data as rd
 
+        if pid is None:
+            live = self._snapshot_pids_if_views()
+            if live is not None:
+                # fileless plain partitions carry no schema — skip them
+                live = [p for p in live if self._view_of(p) or self.files(p)]
+                if not live:
+                    return rd.from_arrow(pa.table({}))
+                dss = [self.read_dataset(p, columns=columns) for p in live]
+                out = dss[0]
+                for d in dss[1:]:
+                    out = out.union(d)
+                return out
         if pid is not None and self._view_of(pid):
             key_col, dropped = self._delete_keys(pid)
             base = self._view_of(pid)["base"]
@@ -387,6 +411,12 @@ class ObjectStore:
         return rd.read_parquet(files, columns=columns, filesystem=self._pafs())
 
     def read_table(self, pid: str | None = None, columns: list[str] | None = None) -> pa.Table:
+        if pid is None:
+            live = self._snapshot_pids_if_views()
+            if live is not None:
+                tabs = [t for t in (self.read_table(p, columns=columns)
+                                    for p in live) if t.num_columns]
+                return pa.concat_tables(tabs) if tabs else pa.table({})
         if pid is not None and self._view_of(pid):
             key_col, dropped = self._delete_keys(pid)
             base = self._view_of(pid)["base"]

@@ -113,13 +113,26 @@ class ImageStore:
         )
 
     def rows(self, pid: str | None = None) -> int:
-        """Row count from manifests only — no data-file reads or listings."""
-        pids = [pid] if pid else self.partitions()
+        """Row count from manifests only — no data-file reads or listings.
+        Whole-store = the SNAPSHOT (see :meth:`_live_pids`)."""
+        pids = [pid] if pid else self._live_pids()
         total = 0
         for p in pids:
             with open(self._manifest_path(p)) as f:
                 total += json.load(f)["rows"]
         return total
+
+    def _live_pids(self) -> list[str]:
+        """Partitions making up the whole-store SNAPSHOT: a committed
+        delete-vector view SUPERSEDES its base partition (reading both
+        would double-count the base and ignore the deletes)."""
+        pids = self.partitions()
+        shadowed = set()
+        for p in pids:
+            v = self.manifest(p).get("view")
+            if v:
+                shadowed.add(v["base"])
+        return [p for p in pids if p not in shadowed]
 
     def manifest(self, pid: str) -> dict:
         with open(self._manifest_path(pid)) as f:
@@ -337,7 +350,7 @@ class ImageStore:
         """Data files of committed partitions only (uncommitted temps
         invisible; view partitions resolve to their base's files)."""
         out: list[str] = []
-        for p in [pid] if pid else self.partitions():
+        for p in [pid] if pid else self._live_pids():
             m = self.manifest(p)
             if m.get("view"):
                 out.extend(self.files(m["view"]["base"]))
@@ -346,9 +359,28 @@ class ImageStore:
                 out.extend(os.path.join(d, f) for f in m["files"])
         return out
 
+    def _snapshot_pids_if_views(self) -> list[str] | None:
+        """Whole-store reads: None when no partition is a view (the flat
+        files() fast path is exact); else the snapshot pid list, each to
+        be read with its own view semantics."""
+        live = self._live_pids()
+        return live if any(self._view_of(p) for p in live) else None
+
     def read_dataset(self, pid: str | None = None, columns: list[str] | None = None):
         import ray.data as rd
 
+        if pid is None:
+            live = self._snapshot_pids_if_views()
+            if live is not None:
+                # fileless plain partitions carry no schema — skip them
+                live = [p for p in live if self._view_of(p) or self.files(p)]
+                if not live:
+                    return rd.from_arrow(pa.table({}))
+                dss = [self.read_dataset(p, columns=columns) for p in live]
+                out = dss[0]
+                for d in dss[1:]:
+                    out = out.union(d)
+                return out
         if pid is not None and self._view_of(pid):
             key_col, dropped = self._delete_keys(pid)
             base = self._view_of(pid)["base"]
@@ -373,6 +405,12 @@ class ImageStore:
         return rd.read_parquet(files, columns=columns)
 
     def read_table(self, pid: str | None = None, columns: list[str] | None = None) -> pa.Table:
+        if pid is None:
+            live = self._snapshot_pids_if_views()
+            if live is not None:
+                tabs = [t for t in (self.read_table(p, columns=columns)
+                                    for p in live) if t.num_columns]
+                return pa.concat_tables(tabs) if tabs else pa.table({})
         if pid is not None and self._view_of(pid):
             key_col, dropped = self._delete_keys(pid)
             base = self._view_of(pid)["base"]

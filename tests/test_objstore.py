@@ -273,3 +273,29 @@ def test_open_store_forwards_kwargs():
     assert isinstance(st, ObjectStore) and st.fs is fs
     with pytest.raises(ValueError):
         open_store("memory://fwd2", shared_fs=False)
+
+
+def test_whole_store_snapshot_shadows_view_bases(ray_session, tmp_path):
+    """Whole-store reads are a SNAPSHOT: a committed delete-vector view
+    supersedes its base (previously the base was read twice and the
+    deletes ignored), chained views shadow transitively, and unrelated
+    partitions still contribute."""
+    for st in (_st(), ImageStore(str(tmp_path / "img")),
+               ObjectStore(f"file://{tmp_path}/obj")):
+        st.append_table("base", pa.table({"image_id": ["a", "b", "c"],
+                                          "v": [1, 2, 3]}))
+        st.append_table("other", pa.table({"image_id": ["x"], "v": [9]}))
+        st.commit_delete_view("dedup", "base", ["b"], key_col="image_id")
+        assert sorted(st.read_table()["image_id"].to_pylist()) == ["a", "c", "x"]
+        assert st.rows() == 3
+        if getattr(st, "_proto", "file") in ("file", "local"):
+            # distributed read path needs a filesystem Ray WORKERS share
+            # (memory:// is per-process)
+            assert sorted(st.read_dataset().to_pandas()["image_id"]) == [
+                "a", "c", "x"]
+        # chained: a view over the view shadows the whole chain
+        st.commit_delete_view("dedup2", "dedup", ["c"], key_col="image_id")
+        assert sorted(st.read_table()["image_id"].to_pylist()) == ["a", "x"]
+        assert st.rows() == 2
+        # per-pid reads unchanged
+        assert st.rows("base") == 3 and st.rows("dedup") == 2
