@@ -39,7 +39,7 @@ import uuid
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from .store import ImageStore, write_fragment
+from .store import ImageStore, SnapshotStoreMixin, write_fragment
 
 
 def _merge_one_fragment(fs_or_url, frag_key: str, dst_key: str, key: str,
@@ -85,7 +85,7 @@ def open_store(root: str, compression: str = "none", **kw):
     return ImageStore(root, compression=compression, **kw)
 
 
-class ObjectStore:
+class ObjectStore(SnapshotStoreMixin):
     """Partitioned table store on an fsspec filesystem with manifest-last
     atomic commits (no renames — see module docstring)."""
 
@@ -164,20 +164,9 @@ class ObjectStore:
         return json.loads(self.fs.cat_file(self._manifest_key(pid)))
 
     def rows(self, pid: str | None = None) -> int:
-        pids = [pid] if pid else self._live_pids()
-        return sum(self.manifest(p)["rows"] for p in pids)
-
-    def _live_pids(self) -> list[str]:
-        """Whole-store SNAPSHOT pids: a committed delete-vector view
-        supersedes its base partition (same contract as ImageStore)."""
-        pids = self.partitions()
-        shadowed = {m["view"]["base"] for m in map(self.manifest, pids)
-                    if m.get("view")}
-        return [p for p in pids if p not in shadowed]
-
-    def _snapshot_pids_if_views(self) -> list[str] | None:
-        live = self._live_pids()
-        return live if any(self._view_of(p) for p in live) else None
+        if pid is not None:
+            return self.manifest(pid)["rows"]
+        return sum(m["rows"] for m in self._live_manifests().values())
 
     def _put_manifest(self, pid: str, manifest: dict) -> None:
         """THE commit point: one atomic object PUT, nothing else.
@@ -210,12 +199,15 @@ class ObjectStore:
         return total
 
     # -- writers --------------------------------------------------------------
-    def append_table(self, pid: str, table: pa.Table, meta: dict | None = None) -> None:
+    def append_table(self, pid: str, table: pa.Table, meta: dict | None = None,
+                     supersedes: list[str] | None = None) -> None:
         stage = self._new_stage(pid)
         key = posixpath.join(stage, "part-0.parquet")
         write_fragment(table, self._url(key), compression=self.compression)
-        self._put_manifest(pid, {"rows": table.num_rows, "files": [key],
-                                 "meta": meta or {}})
+        manifest = {"rows": table.num_rows, "files": [key], "meta": meta or {}}
+        if supersedes:
+            manifest["supersedes"] = supersedes
+        self._put_manifest(pid, manifest)
 
     def append_dataset(self, pid: str, ds, meta: dict | None = None) -> int:
         stage = self._new_stage(pid)
@@ -378,20 +370,14 @@ class ObjectStore:
         import ray.data as rd
 
         if pid is None:
-            live = self._snapshot_pids_if_views()
-            if live is not None:
-                # fileless plain partitions carry no schema — skip them
-                live = [p for p in live if self._view_of(p) or self.files(p)]
-                if not live:
-                    return rd.from_arrow(pa.table({}))
-                dss = [self.read_dataset(p, columns=columns) for p in live]
-                out = dss[0]
-                for d in dss[1:]:
-                    out = out.union(d)
-                return out
+            snap = self._snapshot_read_dataset(columns)
+            if snap is not None:
+                return snap
         if pid is not None and self._view_of(pid):
-            key_col, dropped = self._delete_keys(pid)
             base = self._view_of(pid)["base"]
+            if not self.files(base):  # fileless base: nothing to anti-join
+                return self.read_dataset(base)
+            key_col, dropped = self._delete_keys(pid)
             cols = columns
             if cols is not None and key_col not in cols:
                 cols = [*cols, key_col]
@@ -412,11 +398,9 @@ class ObjectStore:
 
     def read_table(self, pid: str | None = None, columns: list[str] | None = None) -> pa.Table:
         if pid is None:
-            live = self._snapshot_pids_if_views()
-            if live is not None:
-                tabs = [t for t in (self.read_table(p, columns=columns)
-                                    for p in live) if t.num_columns]
-                return pa.concat_tables(tabs) if tabs else pa.table({})
+            snap = self._snapshot_read_table(columns)
+            if snap is not None:
+                return snap
         if pid is not None and self._view_of(pid):
             key_col, dropped = self._delete_keys(pid)
             base = self._view_of(pid)["base"]
@@ -424,6 +408,8 @@ class ObjectStore:
             if cols is not None and key_col not in cols:
                 cols = [*cols, key_col]
             tab = self.read_table(base, columns=cols)
+            if not tab.num_columns:  # fileless base: nothing to anti-join
+                return tab
             return ImageStore._anti_view(tab, key_col, dropped, columns)
         files = self.files(pid)
         if not files:
@@ -447,11 +433,14 @@ class ObjectStore:
             self.append_table(pid, updates)
             return
         if self._view_of(pid):
+            # materialize, keeping the base SHADOWED in the snapshot
             current = self.read_table(pid)
             upd = pa.array(sorted(set(updates[key].to_pylist())))
             kept = current.filter(pc.invert(pc.is_in(current[key], value_set=upd)))
             merged = pa.concat_tables([kept, updates.select(current.column_names)])
-            self.append_table(pid, merged, meta=self.manifest(pid).get("meta"))
+            self.append_table(pid, merged, meta=self.manifest(pid).get("meta"),
+                              supersedes=self._shadow_of(pid))
+            self.gc(pid)  # the view's now-unreferenced delete objects
             return
         m = self.manifest(pid)
         files = m["files"]
@@ -486,17 +475,38 @@ class ObjectStore:
         uk = posixpath.join(stage, f"upsert-{uuid.uuid4().hex}.parquet")
         write_fragment(up, self._url(uk), compression=self.compression)
         new_files.append(uk)
-        self._put_manifest(pid, {"rows": rows + up.num_rows,
-                                 "files": sorted(new_files),
-                                 "meta": m.get("meta", {})})
+        manifest = {"rows": rows + up.num_rows, "files": sorted(new_files),
+                    "meta": m.get("meta", {})}
+        if m.get("supersedes"):
+            manifest["supersedes"] = m["supersedes"]
+        self._put_manifest(pid, manifest)
         self.gc(pid)
 
     def rewrite_partition(self, pid: str, fragment_fn, meta: dict | None = None) -> int:
         m = self.manifest(pid)
+        supersedes = m.get("supersedes")
+        src_files = m["files"]
+        if m.get("view"):
+            # materialize: base fragments pass the delete vector first,
+            # and the new plain partition keeps the base shadowed
+            base = m["view"]["base"]
+            if self._view_of(base):
+                raise ValueError(
+                    f"rewrite_partition through chained views ({pid} -> "
+                    f"{base} -> ...) is unsupported; read + append instead")
+            key_col, dropped = self._delete_keys(pid)
+            anti = ImageStore._anti_view
+            inner = fragment_fn
+
+            def fragment_fn(t, _fn=inner):
+                return _fn(anti(t, key_col, dropped, None))
+
+            src_files = self.files(base)
+            supersedes = self._shadow_of(pid)
         pafs = self._pafs()
         stage = self._new_stage(pid)
         new_files, rows = [], 0
-        for f in m["files"]:
+        for f in src_files:
             with pafs.open_input_file(f) as fh:
                 out = fragment_fn(pq.read_table(fh))
             if out.num_rows:
@@ -504,8 +514,10 @@ class ObjectStore:
                 write_fragment(out, self._url(nk), compression=self.compression)
                 new_files.append(nk)
                 rows += out.num_rows
-        self._put_manifest(pid, {"rows": rows, "files": sorted(new_files),
-                                 "meta": meta if meta is not None
-                                 else m.get("meta", {})})
+        manifest = {"rows": rows, "files": sorted(new_files),
+                    "meta": meta if meta is not None else m.get("meta", {})}
+        if supersedes:
+            manifest["supersedes"] = supersedes
+        self._put_manifest(pid, manifest)
         self.gc(pid)
         return rows

@@ -73,7 +73,77 @@ def write_fragment(table: pa.Table, path: str, compression: str = "none") -> Non
                    use_dictionary=use_dict)
 
 
-class ImageStore:
+class SnapshotStoreMixin:
+    """Whole-store SNAPSHOT semantics shared by :class:`ImageStore` and
+    the object-store backend (duck-typed over ``partitions() / manifest()
+    / files() / read_table() / read_dataset()``):
+
+    - a committed delete-vector view SHADOWS its base partition (reading
+      both would double-count the base and ignore the deletes);
+    - a partition MATERIALIZED in place of a view (``merge_insert`` /
+      ``rewrite_partition`` on a view pid) keeps shadowing the old base
+      via the manifest's ``supersedes`` list — the snapshot invariant
+      survives the view's lifecycle, not just its creation;
+    - sibling views over one base are BOTH live (a user-created
+      ambiguity: the snapshot is then their union).
+    """
+
+    def _live_manifests(self) -> dict[str, dict]:
+        """pid -> manifest for the snapshot, with every manifest fetched
+        exactly ONCE (manifest GETs are the dominant metadata cost on a
+        remote object store)."""
+        ms = {p: self.manifest(p) for p in self.partitions()}
+        shadowed: set[str] = set()
+        for m in ms.values():
+            v = m.get("view")
+            if v:
+                shadowed.add(v["base"])
+            shadowed.update(m.get("supersedes") or ())
+        return {p: m for p, m in ms.items() if p not in shadowed}
+
+    def _live_pids(self) -> list[str]:
+        return list(self._live_manifests())
+
+    def _shadow_of(self, pid: str) -> list[str]:
+        """What a partition materialized in place of ``pid`` must keep
+        shadowing: the view's base, or the supersedes list it already
+        carries."""
+        m = self.manifest(pid)
+        v = m.get("view")
+        return [v["base"]] if v else list(m.get("supersedes") or ())
+
+    def _snapshot_read_table(self, columns):
+        """Whole-store table read with snapshot semantics; ``None`` means
+        no live view exists, so the caller's flat files() fast path is
+        exact (files()/rows() already restrict to live pids)."""
+        live = self._live_manifests()
+        if not any(m.get("view") for m in live.values()):
+            return None
+        tabs = [t for t in (self.read_table(p, columns=columns)
+                            for p in live) if t.num_columns]
+        return pa.concat_tables(tabs) if tabs else pa.table({})
+
+    def _snapshot_read_dataset(self, columns):
+        """Whole-store Dataset read with snapshot semantics (union of
+        per-pid reads); ``None`` -> flat fast path is exact."""
+        live = self._live_manifests()
+        if not any(m.get("view") for m in live.values()):
+            return None
+        import ray.data as rd
+
+        # fileless partitions — including views over fileless bases —
+        # carry no schema and would poison the union; skip them
+        pids = [p for p in live if self.files(p)]
+        if not pids:
+            return rd.from_arrow(pa.table({}))
+        dss = [self.read_dataset(p, columns=columns) for p in pids]
+        out = dss[0]
+        for d in dss[1:]:
+            out = out.union(d)
+        return out
+
+
+class ImageStore(SnapshotStoreMixin):
     """Partitioned table store with atomic per-partition commits.
 
     ``compression="none"`` by default: the payload column carries
@@ -114,25 +184,10 @@ class ImageStore:
 
     def rows(self, pid: str | None = None) -> int:
         """Row count from manifests only — no data-file reads or listings.
-        Whole-store = the SNAPSHOT (see :meth:`_live_pids`)."""
-        pids = [pid] if pid else self._live_pids()
-        total = 0
-        for p in pids:
-            with open(self._manifest_path(p)) as f:
-                total += json.load(f)["rows"]
-        return total
-
-    def _live_pids(self) -> list[str]:
-        """Partitions making up the whole-store SNAPSHOT: a committed
-        delete-vector view SUPERSEDES its base partition (reading both
-        would double-count the base and ignore the deletes)."""
-        pids = self.partitions()
-        shadowed = set()
-        for p in pids:
-            v = self.manifest(p).get("view")
-            if v:
-                shadowed.add(v["base"])
-        return [p for p in pids if p not in shadowed]
+        Whole-store = the SNAPSHOT (see :class:`SnapshotStoreMixin`)."""
+        if pid is not None:
+            return self.manifest(pid)["rows"]
+        return sum(m["rows"] for m in self._live_manifests().values())
 
     def manifest(self, pid: str) -> dict:
         with open(self._manifest_path(pid)) as f:
@@ -147,13 +202,16 @@ class ImageStore:
             pass
         shutil.rmtree(self._part_dir(pid), ignore_errors=True)
 
-    def _commit(self, pid: str, tmp_dir: str, rows: int, meta: dict | None) -> None:
+    def _commit(self, pid: str, tmp_dir: str, rows: int, meta: dict | None,
+                supersedes: list[str] | None = None) -> None:
         final_dir = self._part_dir(pid)
         if os.path.exists(final_dir):
             shutil.rmtree(final_dir)
         os.replace(tmp_dir, final_dir)
         files = sorted(os.listdir(final_dir))
         manifest = {"rows": rows, "files": files, "meta": meta or {}}
+        if supersedes:
+            manifest["supersedes"] = supersedes
         mtmp = self._manifest_path(pid) + f".tmp.{uuid.uuid4().hex}"
         with open(mtmp, "w") as f:
             json.dump(manifest, f)
@@ -162,13 +220,16 @@ class ImageStore:
         os.replace(mtmp, self._manifest_path(pid))
 
     # -- writers -----------------------------------------------------------
-    def append_table(self, pid: str, table: pa.Table, meta: dict | None = None) -> None:
-        """Atomically write one partition from a driver-side Arrow table."""
+    def append_table(self, pid: str, table: pa.Table, meta: dict | None = None,
+                     supersedes: list[str] | None = None) -> None:
+        """Atomically write one partition from a driver-side Arrow table.
+        ``supersedes`` keeps the snapshot shadow when this write
+        MATERIALIZES a former view (see :class:`SnapshotStoreMixin`)."""
         tmp_dir = self._part_dir(pid) + f".tmp.{uuid.uuid4().hex}"
         os.makedirs(tmp_dir)
         write_fragment(table, os.path.join(tmp_dir, "part-0.parquet"),
                        compression=self.compression)
-        self._commit(pid, tmp_dir, table.num_rows, meta)
+        self._commit(pid, tmp_dir, table.num_rows, meta, supersedes)
 
     def external_tmp(self, pid: str) -> str:
         """Pre-create a tmp dir for tasks that write partition files
@@ -359,31 +420,18 @@ class ImageStore:
                 out.extend(os.path.join(d, f) for f in m["files"])
         return out
 
-    def _snapshot_pids_if_views(self) -> list[str] | None:
-        """Whole-store reads: None when no partition is a view (the flat
-        files() fast path is exact); else the snapshot pid list, each to
-        be read with its own view semantics."""
-        live = self._live_pids()
-        return live if any(self._view_of(p) for p in live) else None
-
     def read_dataset(self, pid: str | None = None, columns: list[str] | None = None):
         import ray.data as rd
 
         if pid is None:
-            live = self._snapshot_pids_if_views()
-            if live is not None:
-                # fileless plain partitions carry no schema — skip them
-                live = [p for p in live if self._view_of(p) or self.files(p)]
-                if not live:
-                    return rd.from_arrow(pa.table({}))
-                dss = [self.read_dataset(p, columns=columns) for p in live]
-                out = dss[0]
-                for d in dss[1:]:
-                    out = out.union(d)
-                return out
+            snap = self._snapshot_read_dataset(columns)
+            if snap is not None:
+                return snap
         if pid is not None and self._view_of(pid):
-            key_col, dropped = self._delete_keys(pid)
             base = self._view_of(pid)["base"]
+            if not self.files(base):  # fileless base: nothing to anti-join
+                return self.read_dataset(base)
+            key_col, dropped = self._delete_keys(pid)
             cols = columns
             if cols is not None and key_col not in cols:
                 cols = [*cols, key_col]
@@ -406,11 +454,9 @@ class ImageStore:
 
     def read_table(self, pid: str | None = None, columns: list[str] | None = None) -> pa.Table:
         if pid is None:
-            live = self._snapshot_pids_if_views()
-            if live is not None:
-                tabs = [t for t in (self.read_table(p, columns=columns)
-                                    for p in live) if t.num_columns]
-                return pa.concat_tables(tabs) if tabs else pa.table({})
+            snap = self._snapshot_read_table(columns)
+            if snap is not None:
+                return snap
         if pid is not None and self._view_of(pid):
             key_col, dropped = self._delete_keys(pid)
             base = self._view_of(pid)["base"]
@@ -418,6 +464,8 @@ class ImageStore:
             if cols is not None and key_col not in cols:
                 cols = [*cols, key_col]
             tab = self.read_table(base, columns=cols)
+            if not tab.num_columns:  # fileless base: nothing to anti-join
+                return tab
             return ImageStore._anti_view(tab, key_col, dropped, columns)
         files = self.files(pid)
         if not files:
@@ -463,13 +511,16 @@ class ImageStore:
             return
         if self._view_of(pid):
             # view partitions have no fragments of their own: materialize
+            # (keeping the base SHADOWED — the materialized partition
+            # replaces the view in the whole-store snapshot)
             current = self.read_table(pid)
             import pyarrow.compute as pc
 
             upd = pa.array(sorted(set(updates[key].to_pylist())))
             kept = current.filter(pc.invert(pc.is_in(current[key], value_set=upd)))
             merged = pa.concat_tables([kept, updates.select(current.column_names)])
-            self.append_table(pid, merged, meta=self.manifest(pid).get("meta"))
+            self.append_table(pid, merged, meta=self.manifest(pid).get("meta"),
+                              supersedes=self._shadow_of(pid))
             return
 
         files = self.files(pid)
@@ -494,14 +545,33 @@ class ImageStore:
         write_fragment(updates,
                        os.path.join(tmp_dir, f"upsert-{uuid.uuid4().hex}.parquet"),
                        compression=self.compression)
-        self._commit(pid, tmp_dir, rows + updates.num_rows,
-                     self.manifest(pid).get("meta"))
+        m = self.manifest(pid)
+        self._commit(pid, tmp_dir, rows + updates.num_rows, m.get("meta"),
+                     supersedes=m.get("supersedes"))
 
     def rewrite_partition(self, pid: str, fragment_fn, meta: dict | None = None) -> int:
         """Map every fragment through ``fragment_fn(pa.Table) -> pa.Table``
         into a new atomically-committed partition, ONE FRAGMENT AT A TIME
         (driver memory = one fragment) — the streaming path for
-        schema-widening rewrites. Returns total rows."""
+        schema-widening rewrites. A VIEW pid is materialized: each base
+        fragment passes through the delete vector first, and the new
+        plain partition keeps the base shadowed. Returns total rows."""
+        m = self.manifest(pid)
+        supersedes = m.get("supersedes")
+        inner = fragment_fn
+        if m.get("view"):
+            base = m["view"]["base"]
+            if self._view_of(base):
+                raise ValueError(
+                    f"rewrite_partition through chained views ({pid} -> "
+                    f"{base} -> ...) is unsupported; read + append instead")
+            key_col, dropped = self._delete_keys(pid)
+            anti = ImageStore._anti_view
+
+            def fragment_fn(t, _fn=inner):  # deletes, then the caller's fn
+                return _fn(anti(t, key_col, dropped, None))
+
+            supersedes = self._shadow_of(pid)
         files = self.files(pid)
         tmp_dir = self._part_dir(pid) + f".tmp.{uuid.uuid4().hex}"
         os.makedirs(tmp_dir)
@@ -513,5 +583,6 @@ class ImageStore:
                                compression=self.compression)
                 rows += out.num_rows
         self._commit(pid, tmp_dir, rows,
-                     meta if meta is not None else self.manifest(pid).get("meta"))
+                     meta if meta is not None else m.get("meta"),
+                     supersedes=supersedes)
         return rows

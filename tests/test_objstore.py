@@ -299,3 +299,66 @@ def test_whole_store_snapshot_shadows_view_bases(ray_session, tmp_path):
         assert st.rows() == 2
         # per-pid reads unchanged
         assert st.rows("base") == 3 and st.rows("dedup") == 2
+
+
+def test_snapshot_survives_view_materialization(tmp_path):
+    """merge_insert on a view pid materializes it into a plain partition;
+    the manifest's `supersedes` list must keep the old base SHADOWED, or
+    whole-store reads would resurrect deleted rows and double-count
+    (review repro: rows() jumped 2 -> 5)."""
+    for st in (_st(), ImageStore(str(tmp_path / "img")),
+               ObjectStore(f"file://{tmp_path}/obj")):
+        st.append_table("raw", pa.table({"image_id": ["a", "b", "c"],
+                                         "v": [1, 2, 3]}))
+        st.commit_delete_view("final", "raw", ["b"], key_col="image_id")
+        st.merge_insert("final", pa.table({"image_id": ["c"], "v": [30]}),
+                        key="image_id")
+        assert st.rows() == 2
+        got = dict(zip(st.read_table()["image_id"].to_pylist(),
+                       st.read_table()["v"].to_pylist()))
+        assert got == {"a": 1, "c": 30}  # no resurrected 'b', no doubles
+        # a second (now plain-path) upsert must carry the shadow forward
+        st.merge_insert("final", pa.table({"image_id": ["d"], "v": [4]}),
+                        key="image_id")
+        assert st.rows() == 3
+        assert sorted(st.read_table()["image_id"].to_pylist()) == ["a", "c", "d"]
+
+
+def test_whole_store_read_with_view_over_empty_base(tmp_path):
+    """A view over a fileless zero-row base (a wave that decoded nothing)
+    must not poison whole-store column-pruned reads (was: KeyError from
+    anti-join select on a zero-column table)."""
+    for st in (_st(), ImageStore(str(tmp_path / "img"), shared_fs=True)):
+        stage = st.external_tmp("raw")
+        st.commit_external("raw", stage)  # fileless zero-row partition
+        st.commit_delete_view("dedup", "raw", [], key_col="image_id")
+        st.append_table("other", pa.table({"image_id": ["x"], "phash": [7]}))
+        t = st.read_table(columns=["phash"])
+        assert t["phash"].to_pylist() == [7]
+        assert st.rows() == 0 + 1
+
+
+def test_rewrite_partition_materializes_views(tmp_path):
+    """rewrite_partition on a view pid applies the delete vector before
+    the caller's fragment fn and keeps the base shadowed; chained views
+    refuse loudly."""
+    import pyarrow.compute as pc
+
+    def widen(t: pa.Table) -> pa.Table:
+        return t.append_column("v2", pc.multiply(t["v"], 10))
+
+    for st in (_st(), ImageStore(str(tmp_path / "img")),
+               ObjectStore(f"file://{tmp_path}/obj")):
+        st.append_table("raw", pa.table({"image_id": ["a", "b", "c"],
+                                         "v": [1, 2, 3]}))
+        st.commit_delete_view("final", "raw", ["b"], key_col="image_id")
+        assert st.rewrite_partition("final", widen) == 2
+        got = st.read_table("final").sort_by("image_id")
+        assert got["image_id"].to_pylist() == ["a", "c"]
+        assert got["v2"].to_pylist() == [10, 30]
+        assert st.rows() == 2  # raw stays shadowed in the snapshot
+        # chained: view over a view refuses
+        st.commit_delete_view("v1", "raw", [], key_col="image_id")
+        st.commit_delete_view("v2p", "v1", ["a"], key_col="image_id")
+        with pytest.raises(ValueError):
+            st.rewrite_partition("v2p", widen)
