@@ -176,6 +176,12 @@ class ObjectStore(SnapshotStoreMixin):
         write, so there we fall back to the local protocol's
         tmp+fsync+os.replace (rename is fine on a filesystem — the
         rename-free contract is for stores that lack one)."""
+        # overwriting a partition that shadows others must keep shadowing
+        # them (single inheritance chokepoint — every commit path PUTs here)
+        if "supersedes" not in manifest and self.is_done(pid):
+            old = self.manifest(pid).get("supersedes")
+            if old:
+                manifest = {**manifest, "supersedes": old}
         payload = json.dumps(manifest).encode()
         if self._proto in ("file", "local"):
             import os
@@ -427,19 +433,11 @@ class ObjectStore(SnapshotStoreMixin):
         manifest AS-IS (zero copies, zero moves — strictly better than the
         local backend's hard links); only fragments containing an updated
         key are rewritten into a fresh stage."""
-        import pyarrow.compute as pc
-
         if not self.is_done(pid):
             self.append_table(pid, updates)
             return
         if self._view_of(pid):
-            # materialize, keeping the base SHADOWED in the snapshot
-            current = self.read_table(pid)
-            upd = pa.array(sorted(set(updates[key].to_pylist())))
-            kept = current.filter(pc.invert(pc.is_in(current[key], value_set=upd)))
-            merged = pa.concat_tables([kept, updates.select(current.column_names)])
-            self.append_table(pid, merged, meta=self.manifest(pid).get("meta"),
-                              supersedes=self._shadow_of(pid))
+            self._materialize_upsert(pid, updates, key)
             self.gc(pid)  # the view's now-unreferenced delete objects
             return
         m = self.manifest(pid)
@@ -487,22 +485,9 @@ class ObjectStore(SnapshotStoreMixin):
         supersedes = m.get("supersedes")
         src_files = m["files"]
         if m.get("view"):
-            # materialize: base fragments pass the delete vector first,
-            # and the new plain partition keeps the base shadowed
-            base = m["view"]["base"]
-            if self._view_of(base):
-                raise ValueError(
-                    f"rewrite_partition through chained views ({pid} -> "
-                    f"{base} -> ...) is unsupported; read + append instead")
-            key_col, dropped = self._delete_keys(pid)
-            anti = ImageStore._anti_view
-            inner = fragment_fn
-
-            def fragment_fn(t, _fn=inner):
-                return _fn(anti(t, key_col, dropped, None))
-
+            fragment_fn, base, supersedes = self._materialize_view_plan(
+                pid, m, fragment_fn)
             src_files = self.files(base)
-            supersedes = self._shadow_of(pid)
         pafs = self._pafs()
         stage = self._new_stage(pid)
         new_files, rows = [], 0

@@ -88,11 +88,13 @@ class SnapshotStoreMixin:
       ambiguity: the snapshot is then their union).
     """
 
-    def _live_manifests(self) -> dict[str, dict]:
-        """pid -> manifest for the snapshot, with every manifest fetched
-        exactly ONCE (manifest GETs are the dominant metadata cost on a
-        remote object store)."""
-        ms = {p: self.manifest(p) for p in self.partitions()}
+    def _all_manifests(self) -> dict[str, dict]:
+        """pid -> manifest, every manifest fetched exactly ONCE (manifest
+        GETs are the dominant metadata cost on a remote object store)."""
+        return {p: self.manifest(p) for p in self.partitions()}
+
+    @staticmethod
+    def _live_of(ms: dict[str, dict]) -> dict[str, dict]:
         shadowed: set[str] = set()
         for m in ms.values():
             v = m.get("view")
@@ -101,16 +103,53 @@ class SnapshotStoreMixin:
             shadowed.update(m.get("supersedes") or ())
         return {p: m for p, m in ms.items() if p not in shadowed}
 
+    def _live_manifests(self) -> dict[str, dict]:
+        return self._live_of(self._all_manifests())
+
     def _live_pids(self) -> list[str]:
         return list(self._live_manifests())
 
-    def _shadow_of(self, pid: str) -> list[str]:
-        """What a partition materialized in place of ``pid`` must keep
-        shadowing: the view's base, or the supersedes list it already
-        carries."""
-        m = self.manifest(pid)
+    @staticmethod
+    def _shadow_from(m: dict) -> list[str]:
+        """What a partition materialized in place of the one holding
+        manifest ``m`` must keep shadowing: the view's base, or the
+        supersedes list it already carries."""
         v = m.get("view")
         return [v["base"]] if v else list(m.get("supersedes") or ())
+
+    def _shadow_of(self, pid: str) -> list[str]:
+        return self._shadow_from(self.manifest(pid))
+
+    def _materialize_view_plan(self, pid: str, m: dict, fragment_fn):
+        """Plan for rewriting view ``pid`` into a plain partition:
+        ``(wrapped_fragment_fn, base, supersedes)`` — the wrapped fn runs
+        the delete vector before the caller's fn; chained views refuse
+        loudly (only THIS view's deletes would be applied)."""
+        base = m["view"]["base"]
+        if self._view_of(base):
+            raise ValueError(
+                f"rewrite_partition through chained views ({pid} -> "
+                f"{base} -> ...) is unsupported; read + append instead")
+        key_col, dropped = self._delete_keys(pid)
+        anti = ImageStore._anti_view
+
+        def wrapped(t, _fn=fragment_fn):
+            return _fn(anti(t, key_col, dropped, None))
+
+        return wrapped, base, self._shadow_from(m)
+
+    def _materialize_upsert(self, pid: str, updates, key: str) -> None:
+        """merge_insert on a view pid: materialize into a plain partition,
+        keeping the base SHADOWED in the whole-store snapshot."""
+        import pyarrow.compute as pc
+
+        m = self.manifest(pid)
+        current = self.read_table(pid)
+        upd = pa.array(sorted(set(updates[key].to_pylist())))
+        kept = current.filter(pc.invert(pc.is_in(current[key], value_set=upd)))
+        merged = pa.concat_tables([kept, updates.select(current.column_names)])
+        self.append_table(pid, merged, meta=m.get("meta"),
+                          supersedes=self._shadow_from(m))
 
     def _snapshot_read_table(self, columns):
         """Whole-store table read with snapshot semantics; ``None`` means
@@ -126,14 +165,28 @@ class SnapshotStoreMixin:
     def _snapshot_read_dataset(self, columns):
         """Whole-store Dataset read with snapshot semantics (union of
         per-pid reads); ``None`` -> flat fast path is exact."""
-        live = self._live_manifests()
+        ms = self._all_manifests()
+        live = self._live_of(ms)
         if not any(m.get("view") for m in live.values()):
             return None
         import ray.data as rd
 
-        # fileless partitions — including views over fileless bases —
-        # carry no schema and would poison the union; skip them
-        pids = [p for p in live if self.files(p)]
+        def carries_schema(p: str) -> bool:
+            # fileless partitions — including views over fileless bases —
+            # carry no schema and would poison the union; resolved from
+            # the already-fetched manifest map (zero extra GETs)
+            m, seen = ms[p], set()
+            while True:
+                v = m.get("view")
+                if not v:
+                    return bool(m["files"])
+                b = v["base"]
+                if b in seen or b not in ms:
+                    return False
+                seen.add(b)
+                m = ms[b]
+
+        pids = [p for p in live if carries_schema(p)]
         if not pids:
             return rd.from_arrow(pa.table({}))
         dss = [self.read_dataset(p, columns=columns) for p in pids]
@@ -204,6 +257,10 @@ class ImageStore(SnapshotStoreMixin):
 
     def _commit(self, pid: str, tmp_dir: str, rows: int, meta: dict | None,
                 supersedes: list[str] | None = None) -> None:
+        # overwriting a partition that shadows others must keep shadowing
+        # them — the pid's identity (what it replaced) survives rewrites
+        if supersedes is None and os.path.exists(self._manifest_path(pid)):
+            supersedes = self.manifest(pid).get("supersedes")
         final_dir = self._part_dir(pid)
         if os.path.exists(final_dir):
             shutil.rmtree(final_dir)
@@ -368,6 +425,9 @@ class ImageStore(SnapshotStoreMixin):
         manifest = {"rows": rows, "files": [],
                     "view": view,
                     "meta": meta or {}}
+        if inherited := (self.is_done(pid)
+                        and self.manifest(pid).get("supersedes")):
+            manifest["supersedes"] = inherited
         mtmp = self._manifest_path(pid) + f".tmp.{uuid.uuid4().hex}"
         with open(mtmp, "w") as f:
             json.dump(manifest, f)
@@ -511,16 +571,7 @@ class ImageStore(SnapshotStoreMixin):
             return
         if self._view_of(pid):
             # view partitions have no fragments of their own: materialize
-            # (keeping the base SHADOWED — the materialized partition
-            # replaces the view in the whole-store snapshot)
-            current = self.read_table(pid)
-            import pyarrow.compute as pc
-
-            upd = pa.array(sorted(set(updates[key].to_pylist())))
-            kept = current.filter(pc.invert(pc.is_in(current[key], value_set=upd)))
-            merged = pa.concat_tables([kept, updates.select(current.column_names)])
-            self.append_table(pid, merged, meta=self.manifest(pid).get("meta"),
-                              supersedes=self._shadow_of(pid))
+            self._materialize_upsert(pid, updates, key)
             return
 
         files = self.files(pid)
@@ -558,20 +609,9 @@ class ImageStore(SnapshotStoreMixin):
         plain partition keeps the base shadowed. Returns total rows."""
         m = self.manifest(pid)
         supersedes = m.get("supersedes")
-        inner = fragment_fn
         if m.get("view"):
-            base = m["view"]["base"]
-            if self._view_of(base):
-                raise ValueError(
-                    f"rewrite_partition through chained views ({pid} -> "
-                    f"{base} -> ...) is unsupported; read + append instead")
-            key_col, dropped = self._delete_keys(pid)
-            anti = ImageStore._anti_view
-
-            def fragment_fn(t, _fn=inner):  # deletes, then the caller's fn
-                return _fn(anti(t, key_col, dropped, None))
-
-            supersedes = self._shadow_of(pid)
+            fragment_fn, _base, supersedes = self._materialize_view_plan(
+                pid, m, fragment_fn)
         files = self.files(pid)
         tmp_dir = self._part_dir(pid) + f".tmp.{uuid.uuid4().hex}"
         os.makedirs(tmp_dir)

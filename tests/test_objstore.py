@@ -322,9 +322,14 @@ def test_snapshot_survives_view_materialization(tmp_path):
                         key="image_id")
         assert st.rows() == 3
         assert sorted(st.read_table()["image_id"].to_pylist()) == ["a", "c", "d"]
+        # a WHOLE-PARTITION overwrite (append_table, no supersedes arg)
+        # must inherit the shadow from the manifest it replaces
+        st.append_table("final", pa.table({"image_id": ["z"], "v": [0]}))
+        assert st.rows() == 1
+        assert st.read_table()["image_id"].to_pylist() == ["z"]
 
 
-def test_whole_store_read_with_view_over_empty_base(tmp_path):
+def test_whole_store_read_with_view_over_empty_base(ray_session, tmp_path):
     """A view over a fileless zero-row base (a wave that decoded nothing)
     must not poison whole-store column-pruned reads (was: KeyError from
     anti-join select on a zero-column table)."""
@@ -336,6 +341,10 @@ def test_whole_store_read_with_view_over_empty_base(tmp_path):
         t = st.read_table(columns=["phash"])
         assert t["phash"].to_pylist() == [7]
         assert st.rows() == 0 + 1
+        if getattr(st, "_proto", "file") in ("file", "local"):
+            # per-pid Dataset read of the view over the fileless base
+            assert st.read_dataset("dedup").count() == 0
+            assert sorted(st.read_dataset().to_pandas()["image_id"]) == ["x"]
 
 
 def test_rewrite_partition_materializes_views(tmp_path):
