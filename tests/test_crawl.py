@@ -364,3 +364,25 @@ def test_crawl_on_object_store(ray_session, serial_run, tmp_path):
     tab = eng.store.read_table(columns=["image_id", "phash"])
     got = set(zip(tab["image_id"].to_pylist(), tab["phash"].to_pylist()))
     assert got == {(r["image_id"], r["phash"]) for r in sc.rows}
+
+
+def test_kill_and_resume_on_object_store(ray_session, serial_run, tmp_path):
+    """Kill+resume with the store on the object-store backend: the
+    rename-free manifest-last commits (fetch log, wave partitions) and
+    local checkpoints must reproduce the serial run exactly after a
+    restart — the multi-node crash story end-to-end."""
+    sc, seeds, _ = serial_run
+    cfg = CrawlConfig(**CFG)
+    store_root = f"local://{tmp_path}/store"
+
+    eng1 = CrawlEngine(cfg, store_root, str(tmp_path / "ckpt"))
+    eng1.run(seeds=seeds, max_waves=2)
+    del eng1  # "kill"
+
+    eng2 = CrawlEngine(cfg, store_root, str(tmp_path / "ckpt"))
+    eng2.run(seeds=None)  # resume from checkpoint
+
+    assert eng2.fetch_log() == sc.fetch_order()
+    tab = eng2.store.read_table(columns=["image_id", "phash"])
+    got = set(zip(tab["image_id"].to_pylist(), tab["phash"].to_pylist()))
+    assert got == {(r["image_id"], r["phash"]) for r in sc.rows}
