@@ -177,9 +177,13 @@ class ObjectStore(SnapshotStoreMixin):
         tmp+fsync+os.replace (rename is fine on a filesystem — the
         rename-free contract is for stores that lack one)."""
         # overwriting a partition that shadows others must keep shadowing
-        # them (single inheritance chokepoint — every commit path PUTs here)
+        # them (single inheritance chokepoint — every commit path PUTs
+        # here): the pid's shadow set (view base + supersedes) only grows
+        # until the pid is dropped
         if "supersedes" not in manifest and self.is_done(pid):
-            old = self.manifest(pid).get("supersedes")
+            base = (manifest.get("view") or {}).get("base")
+            old = [p for p in self._shadow_from(self.manifest(pid))
+                   if p != base]
             if old:
                 manifest = {**manifest, "supersedes": old}
         payload = json.dumps(manifest).encode()

@@ -111,11 +111,15 @@ class SnapshotStoreMixin:
 
     @staticmethod
     def _shadow_from(m: dict) -> list[str]:
-        """What a partition materialized in place of the one holding
-        manifest ``m`` must keep shadowing: the view's base, or the
-        supersedes list it already carries."""
+        """What a partition committed in place of the one holding
+        manifest ``m`` must keep shadowing: the view's base plus any
+        supersedes list the manifest already carries (inherited from
+        earlier incarnations of the pid)."""
+        sup = list(m.get("supersedes") or ())
         v = m.get("view")
-        return [v["base"]] if v else list(m.get("supersedes") or ())
+        if v and v["base"] not in sup:
+            return [v["base"], *sup]
+        return sup
 
     def _shadow_of(self, pid: str) -> list[str]:
         return self._shadow_from(self.manifest(pid))
@@ -258,9 +262,10 @@ class ImageStore(SnapshotStoreMixin):
     def _commit(self, pid: str, tmp_dir: str, rows: int, meta: dict | None,
                 supersedes: list[str] | None = None) -> None:
         # overwriting a partition that shadows others must keep shadowing
-        # them — the pid's identity (what it replaced) survives rewrites
+        # them — the pid's shadow set (view base + supersedes) only grows
+        # until the pid is dropped, whatever writer replaces it
         if supersedes is None and os.path.exists(self._manifest_path(pid)):
-            supersedes = self.manifest(pid).get("supersedes")
+            supersedes = self._shadow_from(self.manifest(pid))
         final_dir = self._part_dir(pid)
         if os.path.exists(final_dir):
             shutil.rmtree(final_dir)
@@ -425,9 +430,11 @@ class ImageStore(SnapshotStoreMixin):
         manifest = {"rows": rows, "files": [],
                     "view": view,
                     "meta": meta or {}}
-        if inherited := (self.is_done(pid)
-                        and self.manifest(pid).get("supersedes")):
-            manifest["supersedes"] = inherited
+        if self.is_done(pid):
+            inherited = [p for p in self._shadow_from(self.manifest(pid))
+                         if p != base_pid]
+            if inherited:
+                manifest["supersedes"] = inherited
         mtmp = self._manifest_path(pid) + f".tmp.{uuid.uuid4().hex}"
         with open(mtmp, "w") as f:
             json.dump(manifest, f)
