@@ -381,11 +381,38 @@ class CrawlEngine:
         # the NEW run's checkpoints and resume() continue the OLD crawl.
         import os
 
-        for pid in self.log_store.partitions():
-            self.log_store.drop_partition(pid)
-        for pid in self.store.partitions():
-            if pid.startswith("wave-"):
-                self.store.drop_partition(pid)
+        def _drop_closure(store, doomed: set[str]) -> None:
+            """Drop ``doomed`` plus everything that reads THROUGH it
+            (views, supersedes holders) — a stale view left standing
+            would shadow and mis-filter the new run's recreated
+            partitions. Dependents drop first (drop_partition refuses
+            to orphan a live view)."""
+            ms = store._all_manifests()
+            changed = True
+            while changed:
+                changed = False
+                for p, m in ms.items():
+                    if p in doomed:
+                        continue
+                    refs = set(m.get("supersedes") or ())
+                    if m.get("view"):
+                        refs.add(m["view"]["base"])
+                    if refs & doomed:
+                        doomed.add(p)
+                        changed = True
+
+            def depth(p: str) -> int:
+                d, m = 0, ms.get(p)
+                while m and m.get("view"):
+                    d, m = d + 1, ms.get(m["view"]["base"])
+                return d
+
+            for p in sorted(doomed & set(ms), key=depth, reverse=True):
+                store.drop_partition(p)
+
+        _drop_closure(self.log_store, set(self.log_store.partitions()))
+        _drop_closure(self.store, {p for p in self.store.partitions()
+                                   if p.startswith("wave-")})
         for f in os.listdir(self.ckpt.root):
             if f.startswith("wave-") and f.endswith(".ckpt"):
                 try:

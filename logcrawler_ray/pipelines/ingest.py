@@ -222,14 +222,16 @@ def ingest_sharded(source_files: list[str], store: ImageStore, *,
                 total += store.commit_delete_view(
                     f"{pid}-view-{spid}", spid, [], key_col="image_id")
         store.rm_scratch(loser_dir)
-    store.append_table(pid, pa.table({"shards": [f"{pid}-view-{s}" for s in shard_ids]}),
-                       meta={"pipeline": "ingest", "rows_total": total})
+    # metadata-only listing partition: rows=0/fileless so whole-store
+    # snapshot reads and rows() never see it as data
+    store.append_meta(pid, {"pipeline": "ingest", "rows_total": total,
+                            "shards": [f"{pid}-view-{s}" for s in shard_ids]})
     return pid
 
 
 def read_sharded(store: ImageStore, pid: str, columns: list[str] | None = None):
     """Union Dataset over a sharded-ingest result's per-shard delete views."""
-    shards = store.read_table(pid)["shards"].to_pylist()
+    shards = store.manifest(pid)["meta"]["shards"]
     ds = store.read_dataset(shards[0], columns=columns)
     for s in shards[1:]:
         ds = ds.union(store.read_dataset(s, columns=columns))

@@ -161,6 +161,8 @@ class ObjectStore(SnapshotStoreMixin):
             for k in names if k.endswith(".json"))
 
     def manifest(self, pid: str) -> dict:
+        if (m := self._cached_manifest(pid)) is not None:
+            return m
         return json.loads(self.fs.cat_file(self._manifest_key(pid)))
 
     def rows(self, pid: str | None = None) -> int:
@@ -215,7 +217,7 @@ class ObjectStore(SnapshotStoreMixin):
         key = posixpath.join(stage, "part-0.parquet")
         write_fragment(table, self._url(key), compression=self.compression)
         manifest = {"rows": table.num_rows, "files": [key], "meta": meta or {}}
-        if supersedes:
+        if supersedes is not None:  # explicit [] = clear (skip inheritance)
             manifest["supersedes"] = supersedes
         self._put_manifest(pid, manifest)
 
@@ -242,6 +244,11 @@ class ObjectStore(SnapshotStoreMixin):
         except FileNotFoundError:
             return []
 
+    def append_meta(self, pid: str, meta: dict) -> None:
+        """Commit a fileless zero-row metadata-only partition (shared
+        surface with ImageStore.append_meta)."""
+        self._put_manifest(pid, {"rows": 0, "files": [], "meta": meta})
+
     def external_tmp(self, pid: str) -> str:
         """Staging prefix (URL) that fused-sink TASKS write parquet objects
         into directly — on an object store the 'tmp dir' IS the final,
@@ -262,7 +269,9 @@ class ObjectStore(SnapshotStoreMixin):
     def drop_partition(self, pid: str) -> None:
         """Uncommit + reclaim a partition (shared surface — CrawlEngine
         resets stale wave partitions through this). Manifest delete first
-        so readers never see a half-deleted partition."""
+        so readers never see a half-deleted partition. Refuses while a
+        live view still reads through this partition."""
+        self._assert_not_view_base(pid, "drop_partition")
         try:
             self.fs.rm_file(self._manifest_key(pid))
         except FileNotFoundError:
@@ -367,6 +376,9 @@ class ObjectStore(SnapshotStoreMixin):
 
     # -- readers ------------------------------------------------------------
     def files(self, pid: str | None = None) -> list[str]:
+        if pid is None and getattr(self, "_mcache", None) is None:
+            with self._manifest_cache(self._all_manifests()):
+                return self.files(None)
         out: list[str] = []
         for p in [pid] if pid else self._live_pids():
             m = self.manifest(p)
@@ -440,6 +452,7 @@ class ObjectStore(SnapshotStoreMixin):
         if not self.is_done(pid):
             self.append_table(pid, updates)
             return
+        self._assert_not_view_base(pid, "merge_insert")
         if self._view_of(pid):
             self._materialize_upsert(pid, updates, key)
             self.gc(pid)  # the view's now-unreferenced delete objects
@@ -485,6 +498,7 @@ class ObjectStore(SnapshotStoreMixin):
         self.gc(pid)
 
     def rewrite_partition(self, pid: str, fragment_fn, meta: dict | None = None) -> int:
+        self._assert_not_view_base(pid, "rewrite_partition")
         m = self.manifest(pid)
         supersedes = m.get("supersedes")
         src_files = m["files"]

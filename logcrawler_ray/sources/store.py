@@ -34,6 +34,7 @@ import json
 import os
 import shutil
 import uuid
+from contextlib import contextmanager
 
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -92,6 +93,34 @@ class SnapshotStoreMixin:
         """pid -> manifest, every manifest fetched exactly ONCE (manifest
         GETs are the dominant metadata cost on a remote object store)."""
         return {p: self.manifest(p) for p in self.partitions()}
+
+    @contextmanager
+    def _manifest_cache(self, ms: dict[str, dict]):
+        """Serve ``manifest()`` from a prefetched map for the duration of a
+        whole-store read, so per-pid view resolution (files / _view_of /
+        base reads) re-uses the one fetch pass instead of issuing per-pid
+        GETs. Driver-side reads only; writers never run under the cache."""
+        self._mcache = ms
+        try:
+            yield
+        finally:
+            self._mcache = None
+
+    def _cached_manifest(self, pid: str) -> dict | None:
+        c = getattr(self, "_mcache", None)
+        return c.get(pid) if c is not None else None
+
+    def _assert_not_view_base(self, pid: str, action: str) -> None:
+        """Mutating or dropping the BASE of a live delete-vector view
+        would silently desync the view's frozen row count from its reads
+        (or orphan it entirely) — refuse loudly; the caller must drop or
+        materialize the view first."""
+        for p, m in self._all_manifests().items():
+            v = m.get("view")
+            if v and v["base"] == pid:
+                raise ValueError(
+                    f"{action} on '{pid}', which is the base of live view "
+                    f"'{p}'; drop or materialize the view first")
 
     @staticmethod
     def _live_of(ms: dict[str, dict]) -> dict[str, dict]:
@@ -159,11 +188,13 @@ class SnapshotStoreMixin:
         """Whole-store table read with snapshot semantics; ``None`` means
         no live view exists, so the caller's flat files() fast path is
         exact (files()/rows() already restrict to live pids)."""
-        live = self._live_manifests()
+        ms = self._all_manifests()
+        live = self._live_of(ms)
         if not any(m.get("view") for m in live.values()):
             return None
-        tabs = [t for t in (self.read_table(p, columns=columns)
-                            for p in live) if t.num_columns]
+        with self._manifest_cache(ms):
+            tabs = [t for t in (self.read_table(p, columns=columns)
+                                for p in live) if t.num_columns]
         return pa.concat_tables(tabs) if tabs else pa.table({})
 
     def _snapshot_read_dataset(self, columns):
@@ -193,7 +224,8 @@ class SnapshotStoreMixin:
         pids = [p for p in live if carries_schema(p)]
         if not pids:
             return rd.from_arrow(pa.table({}))
-        dss = [self.read_dataset(p, columns=columns) for p in pids]
+        with self._manifest_cache(ms):
+            dss = [self.read_dataset(p, columns=columns) for p in pids]
         out = dss[0]
         for d in dss[1:]:
             out = out.union(d)
@@ -247,12 +279,16 @@ class ImageStore(SnapshotStoreMixin):
         return sum(m["rows"] for m in self._live_manifests().values())
 
     def manifest(self, pid: str) -> dict:
+        if (m := self._cached_manifest(pid)) is not None:
+            return m
         with open(self._manifest_path(pid)) as f:
             return json.load(f)
 
     def drop_partition(self, pid: str) -> None:
         """Uncommit + reclaim a partition (shared surface with ObjectStore).
-        Manifest removed first so readers never see a half-deleted one."""
+        Manifest removed first so readers never see a half-deleted one.
+        Refuses while a live view still reads through this partition."""
+        self._assert_not_view_base(pid, "drop_partition")
         try:
             os.remove(self._manifest_path(pid))
         except OSError:
@@ -292,6 +328,15 @@ class ImageStore(SnapshotStoreMixin):
         write_fragment(table, os.path.join(tmp_dir, "part-0.parquet"),
                        compression=self.compression)
         self._commit(pid, tmp_dir, table.num_rows, meta, supersedes)
+
+    def append_meta(self, pid: str, meta: dict) -> None:
+        """Commit a FILELESS zero-row partition that exists only for its
+        manifest metadata (e.g. ingest_sharded's shard listing) — invisible
+        to whole-store reads and counted as 0 rows, unlike a data
+        partition smuggling the listing as rows."""
+        tmp_dir = self._part_dir(pid) + f".tmp.{uuid.uuid4().hex}"
+        os.makedirs(tmp_dir)
+        self._commit(pid, tmp_dir, 0, meta)
 
     def external_tmp(self, pid: str) -> str:
         """Pre-create a tmp dir for tasks that write partition files
@@ -477,6 +522,9 @@ class ImageStore(SnapshotStoreMixin):
     def files(self, pid: str | None = None) -> list[str]:
         """Data files of committed partitions only (uncommitted temps
         invisible; view partitions resolve to their base's files)."""
+        if pid is None and getattr(self, "_mcache", None) is None:
+            with self._manifest_cache(self._all_manifests()):
+                return self.files(None)
         out: list[str] = []
         for p in [pid] if pid else self._live_pids():
             m = self.manifest(p)
@@ -576,6 +624,7 @@ class ImageStore(SnapshotStoreMixin):
         if not self.is_done(pid):
             self.append_table(pid, updates)
             return
+        self._assert_not_view_base(pid, "merge_insert")
         if self._view_of(pid):
             # view partitions have no fragments of their own: materialize
             self._materialize_upsert(pid, updates, key)
@@ -614,6 +663,7 @@ class ImageStore(SnapshotStoreMixin):
         schema-widening rewrites. A VIEW pid is materialized: each base
         fragment passes through the delete vector first, and the new
         plain partition keeps the base shadowed. Returns total rows."""
+        self._assert_not_view_base(pid, "rewrite_partition")
         m = self.manifest(pid)
         supersedes = m.get("supersedes")
         if m.get("view"):

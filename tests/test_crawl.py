@@ -386,3 +386,26 @@ def test_kill_and_resume_on_object_store(ray_session, serial_run, tmp_path):
     tab = eng2.store.read_table(columns=["image_id", "phash"])
     got = set(zip(tab["image_id"].to_pylist(), tab["phash"].to_pylist()))
     assert got == {(r["image_id"], r["phash"]) for r in sc.rows}
+
+
+def test_fresh_start_drops_stale_views_over_waves(ray_session, serial_run,
+                                                  tmp_path):
+    """A leftover delete-view (non-wave pid) over a wave partition must be
+    swept by start()'s closure drop — otherwise it would SHADOW the new
+    run's recreated wave in whole-store snapshot reads and filter it with
+    stale delete keys."""
+    _, seeds, _ = serial_run
+    cfg = CrawlConfig(**CFG)
+    eng = CrawlEngine(cfg, str(tmp_path / "store"), str(tmp_path / "ckpt"))
+    eng.run(seeds=seeds, max_waves=1)
+    wave = [p for p in eng.store.partitions() if p.startswith("wave-")][0]
+    ids = eng.store.read_table(wave, columns=["image_id"])["image_id"].to_pylist()
+    eng.store.commit_delete_view("stale-dedup", wave, ids[:1],
+                                 key_col="image_id")
+    assert eng.store.rows() < len(ids) + 1  # view shadows the wave now
+
+    eng2 = CrawlEngine(cfg, str(tmp_path / "store"), str(tmp_path / "ckpt"))
+    eng2.run(seeds=seeds, max_waves=1)
+    assert "stale-dedup" not in eng2.store.partitions()
+    # the fresh wave is fully visible again
+    assert eng2.store.rows() == eng2.store.read_table().num_rows == len(ids)

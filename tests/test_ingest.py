@@ -251,6 +251,12 @@ def test_ingest_sharded_resume(ray_session, corpus_tab, tmp_path):
     uniq = len(set(corpus_tab["phash"].to_pylist()))
     assert len(out) == uniq
     assert len(set(out["phash"])) == uniq
+    # whole-store SNAPSHOT: per-shard views shadow their bases, the
+    # metadata-only listing partition contributes 0 rows — rows() and
+    # read_table() see exactly the deduped survivor set
+    assert store.rows() == uniq
+    snap = store.read_table(columns=["image_id"])
+    assert snap.num_rows == uniq
 
     # shard manifests exist; rerun = all skipped, identical result
     assert store.is_done("sh-shard-00000") and store.is_done("sh-shard-00001")

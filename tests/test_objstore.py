@@ -159,6 +159,10 @@ def test_protocol_is_rename_free():
     f = posixpath.join(scratch, "x.parquet")
     write_fragment(pa.table({"image_id": ["a"]}), f)
     st.commit_delete_view_files("pv", "p", [f], key_col="image_id")
+    with pytest.raises(ValueError):  # 'p' is the base of live view 'pv'
+        st.merge_insert("p", pa.table({"image_id": ["z"], "v": [9]}),
+                        key="image_id")
+    st.drop_partition("pv")
     st.merge_insert("p", pa.table({"image_id": ["z"], "v": [9]}), key="image_id")
     st.rewrite_partition("p", lambda t: t)
     assert st.rows("p") == 3 and st.rows("qv") == 0
@@ -371,3 +375,22 @@ def test_rewrite_partition_materializes_views(tmp_path):
         st.commit_delete_view("v2p", "v1", ["a"], key_col="image_id")
         with pytest.raises(ValueError):
             st.rewrite_partition("v2p", widen)
+
+
+def test_live_view_base_is_guarded(tmp_path):
+    """Mutating or dropping the BASE of a live delete-view refuses loudly
+    (a frozen view over a changed base would desync rows() from reads);
+    dropping the view first unblocks, dependents-first ordering works."""
+    for st in (_st(), ImageStore(str(tmp_path / "img"))):
+        st.append_table("base", pa.table({"image_id": ["a", "b"], "v": [1, 2]}))
+        st.commit_delete_view("v", "base", ["a"], key_col="image_id")
+        upd = pa.table({"image_id": ["c"], "v": [3]})
+        with pytest.raises(ValueError):
+            st.drop_partition("base")
+        with pytest.raises(ValueError):
+            st.merge_insert("base", upd, key="image_id")
+        with pytest.raises(ValueError):
+            st.rewrite_partition("base", lambda t: t)
+        st.drop_partition("v")
+        st.merge_insert("base", upd, key="image_id")
+        assert st.rows() == 3
