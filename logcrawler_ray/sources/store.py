@@ -86,7 +86,13 @@ class SnapshotStoreMixin:
       via the manifest's ``supersedes`` list — the snapshot invariant
       survives the view's lifecycle, not just its creation;
     - sibling views over one base are BOTH live (a user-created
-      ambiguity: the snapshot is then their union).
+      ambiguity: the snapshot is then their union);
+    - the maintenance writers (``merge_insert`` / ``rewrite_partition``
+      / ``drop_partition``) REFUSE to touch a live view's base. The hot
+      append paths (``append_table`` / ``commit_external`` /
+      ``append_dataset``) are deliberately unguarded — the check costs
+      one manifest scan per commit, and no pipeline appends over a
+      view's base (the engine always commits bases before views).
     """
 
     def _all_manifests(self) -> dict[str, dict]:
