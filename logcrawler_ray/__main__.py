@@ -88,7 +88,8 @@ def cmd_ingest(args) -> int:
     pid = ingest_sharded(files, store, pid=args.pid,
                          files_per_shard=args.shards_of,
                          batch_size=t["batch_size"])
-    print(json.dumps({"pid": pid, "rows": store.rows(pid) if store.is_done(pid) else None,
+    meta = store.manifest(pid)["meta"] if store.is_done(pid) else {}
+    print(json.dumps({"pid": pid, "rows": meta.get("rows_total"),
                       "partitions": store.partitions()}))
     return 0
 
