@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import json
 import posixpath
+import time
 import uuid
 
 import pyarrow as pa
@@ -90,12 +91,13 @@ class ObjectStore(SnapshotStoreMixin):
     atomic commits (no renames — see module docstring)."""
 
     def __init__(self, root_url: str, compression: str = "none", fs=None,
-                 shared_fs: bool = True):
+                 shared_fs: bool = True, retries: int = 4):
         import fsspec
 
         if not shared_fs:
             raise ValueError("an object store is shared by definition; "
                              "shared_fs=False is contradictory here")
+        self.retries = retries
         if fs is None:
             fs, root = fsspec.core.url_to_fs(root_url)
         else:
@@ -111,6 +113,22 @@ class ObjectStore(SnapshotStoreMixin):
             fs.makedirs(self._key("_manifests"), exist_ok=True)
         except Exception:
             pass  # pure object stores have no directories
+
+    def _retry(self, fn, *a, **kw):
+        """Transient-fault retry for METADATA round trips (S3 503s,
+        connection resets) with bounded exponential backoff — the commit
+        point must not die on one flaky request. ``FileNotFoundError`` is
+        SEMANTIC (missing manifest = not committed) and never retried.
+        Data-plane reads/writes go through pyarrow/fsspec, whose real
+        backends (s3fs/gcsfs) carry their own retry policies."""
+        for attempt in range(self.retries):
+            try:
+                return fn(*a, **kw)
+            except FileNotFoundError:
+                raise
+            except OSError:
+                time.sleep(min(0.05 * (2 ** attempt), 2.0))
+        return fn(*a, **kw)
 
     # -- key/url helpers -----------------------------------------------------
     def _key(self, *parts: str) -> str:
@@ -149,11 +167,11 @@ class ObjectStore(SnapshotStoreMixin):
 
     # -- commit protocol -----------------------------------------------------
     def is_done(self, pid: str) -> bool:
-        return self.fs.exists(self._manifest_key(pid))
+        return self._retry(self.fs.exists, self._manifest_key(pid))
 
     def partitions(self) -> list[str]:
         try:
-            names = self.fs.ls(self._key("_manifests"), detail=False)
+            names = self._retry(self.fs.ls, self._key("_manifests"), detail=False)
         except FileNotFoundError:
             return []
         return sorted(
@@ -163,7 +181,7 @@ class ObjectStore(SnapshotStoreMixin):
     def manifest(self, pid: str) -> dict:
         if (m := self._cached_manifest(pid)) is not None:
             return m
-        return json.loads(self.fs.cat_file(self._manifest_key(pid)))
+        return json.loads(self._retry(self.fs.cat_file, self._manifest_key(pid)))
 
     def rows(self, pid: str | None = None) -> int:
         if pid is not None:
@@ -200,7 +218,7 @@ class ObjectStore(SnapshotStoreMixin):
                 os.fsync(f.fileno())
             os.replace(tmp, dst)
             return
-        self.fs.pipe_file(self._manifest_key(pid), payload)
+        self._retry(self.fs.pipe_file, self._manifest_key(pid), payload)
 
     def _footer_rows(self, keys: list[str]) -> int:
         pafs = self._pafs()
@@ -239,7 +257,7 @@ class ObjectStore(SnapshotStoreMixin):
         zero-row commit (pure object stores have no directory object to
         even list), not an error."""
         try:
-            return sorted(k for k in self.fs.ls(stage, detail=False)
+            return sorted(k for k in self._retry(self.fs.ls, stage, detail=False)
                           if k.endswith(".parquet"))
         except FileNotFoundError:
             return []
@@ -273,11 +291,11 @@ class ObjectStore(SnapshotStoreMixin):
         live view still reads through this partition."""
         self._assert_not_view_base(pid, "drop_partition")
         try:
-            self.fs.rm_file(self._manifest_key(pid))
+            self._retry(self.fs.rm_file, self._manifest_key(pid))
         except FileNotFoundError:
             pass
         try:
-            self.fs.rm(self._key("data", pid), recursive=True)
+            self._retry(self.fs.rm, self._key("data", pid), recursive=True)
         except FileNotFoundError:
             pass
 
@@ -294,12 +312,13 @@ class ObjectStore(SnapshotStoreMixin):
                 live |= set(v.get("delete_files") or [])
         pdir = self._key("data", pid)
         try:
-            have = [k for k in self.fs.find(pdir) if k.endswith(".parquet")]
+            have = [k for k in self._retry(self.fs.find, pdir)
+                    if k.endswith(".parquet")]
         except FileNotFoundError:
             return 0
         dead = [k for k in have if k not in live]
         for k in dead:
-            self.fs.rm_file(k)
+            self._retry(self.fs.rm_file, k)
         return len(dead)
 
     # -- scratch space (distributed loser passes) ------------------------------
@@ -343,7 +362,7 @@ class ObjectStore(SnapshotStoreMixin):
         for i, f in enumerate(delete_files):
             src = self.fs._strip_protocol(f)
             dst = posixpath.join(stage, f"deletes-{i:05d}.parquet")
-            self.fs.copy(src, dst)
+            self._retry(self.fs.copy, src, dst)
             names.append(dst)
             keys.append(dst)
         n = self._footer_rows(keys)

@@ -394,3 +394,47 @@ def test_live_view_base_is_guarded(tmp_path):
         st.drop_partition("v")
         st.merge_insert("base", upd, key="image_id")
         assert st.rows() == 3
+
+
+class _FlakyFS(MemoryFileSystem):
+    """Fails each metadata op a fixed number of times before succeeding —
+    an S3 returning 503s. FileNotFoundError paths must NOT be retried."""
+
+    def __init__(self, fail_times: int = 2, **kw):
+        super().__init__(**kw)
+        self._budget = {}
+        self._fail_times = fail_times
+        self.calls = 0
+
+    def _maybe_fail(self, op, key):
+        self.calls += 1
+        k = (op, key)
+        n = self._budget.setdefault(k, self._fail_times)
+        if n > 0:
+            self._budget[k] = n - 1
+            raise OSError(f"transient 503 on {op} {key}")
+
+    def pipe_file(self, path, value, **kw):
+        self._maybe_fail("put", path)
+        return super().pipe_file(path, value, **kw)
+
+    def cat_file(self, path, **kw):
+        if self.exists(path):  # a 404 is honest, not transient
+            self._maybe_fail("get", path)
+        else:
+            self.calls += 1
+        return super().cat_file(path, **kw)
+
+
+def test_transient_faults_are_retried():
+    fs = _FlakyFS(fail_times=2)
+    st = ObjectStore(f"memory://flaky-{uuid.uuid4().hex}", fs=fs)
+    t = pa.table({"image_id": ["a", "b"], "v": [1, 2]})
+    st.append_table("p", t)  # manifest PUT survives two 503s
+    assert st.rows("p") == 2  # manifest GET survives two 503s
+    assert st.read_table("p").sort_by("image_id").equals(t)
+    # a genuinely missing manifest still raises immediately (no retry spin)
+    before = fs.calls
+    with pytest.raises(FileNotFoundError):
+        st.manifest("nope")
+    assert fs.calls == before + 1
