@@ -402,13 +402,19 @@ class CrawlEngine:
                         changed = True
 
             def depth(p: str) -> int:
-                d, m = 0, ms.get(p)
+                d, m, seen = 0, ms.get(p), {p}
                 while m and m.get("view"):
-                    d, m = d + 1, ms.get(m["view"]["base"])
+                    b = m["view"]["base"]
+                    if b in seen:  # corrupt view cycle: don't hang start()
+                        break
+                    seen.add(b)
+                    d, m = d + 1, ms.get(b)
                 return d
 
             for p in sorted(doomed & set(ms), key=depth, reverse=True):
-                store.drop_partition(p)
+                # dependents-first order makes the per-drop live-view scan
+                # redundant (O(P^2) metadata GETs on a remote store)
+                store.drop_partition(p, force=True)
 
         _drop_closure(self.log_store, set(self.log_store.partitions()))
         _drop_closure(self.store, {p for p in self.store.partitions()

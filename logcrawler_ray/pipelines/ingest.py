@@ -231,7 +231,10 @@ def ingest_sharded(source_files: list[str], store: ImageStore, *,
 
 def read_sharded(store: ImageStore, pid: str, columns: list[str] | None = None):
     """Union Dataset over a sharded-ingest result's per-shard delete views."""
-    shards = store.manifest(pid)["meta"]["shards"]
+    meta = store.manifest(pid).get("meta", {})
+    shards = meta.get("shards")
+    if shards is None:  # pre-meta-listing stores kept the list as data rows
+        shards = store.read_table(pid)["shards"].to_pylist()
     ds = store.read_dataset(shards[0], columns=columns)
     for s in shards[1:]:
         ds = ds.union(store.read_dataset(s, columns=columns))

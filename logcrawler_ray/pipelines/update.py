@@ -54,7 +54,10 @@ def update_image_stats(store: ImageStore, pid: str, *, batch_size: int = 128,
                 out_parts.append(out)
             return pa.concat_tables(out_parts)
 
-        store.rewrite_partition(pid, widen)
+        # key/count-preserving by construction (stats columns only) —
+        # safe under live views over this partition (CLI stats on a
+        # sharded-ingest shard base)
+        store.rewrite_partition(pid, widen, allow_view_base=True)
         return n
 
     # refresh pass: detect todo rows from the SKINNY columns only, then
@@ -78,5 +81,6 @@ def update_image_stats(store: ImageStore, pid: str, *, batch_size: int = 128,
                 out = out.append_column(c, chunk[c])
             updated.append(out.select(schema_names))
     new = pa.concat_tables(updated)
-    store.merge_insert(pid, new, key="image_id")
+    # refresh upserts EXISTING image_ids only — key/count-preserving
+    store.merge_insert(pid, new, key="image_id", allow_view_base=True)
     return new.num_rows

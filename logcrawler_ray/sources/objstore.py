@@ -124,8 +124,9 @@ class ObjectStore(SnapshotStoreMixin):
         for attempt in range(self.retries):
             try:
                 return fn(*a, **kw)
-            except FileNotFoundError:
-                raise
+            except (FileNotFoundError, PermissionError, IsADirectoryError,
+                    NotADirectoryError):
+                raise  # semantic / permanent — retrying only multiplies it
             except OSError:
                 time.sleep(min(0.05 * (2 ** attempt), 2.0))
         return fn(*a, **kw)
@@ -284,12 +285,14 @@ class ObjectStore(SnapshotStoreMixin):
         self.gc(pid)
         return rows
 
-    def drop_partition(self, pid: str) -> None:
+    def drop_partition(self, pid: str, *, force: bool = False) -> None:
         """Uncommit + reclaim a partition (shared surface — CrawlEngine
         resets stale wave partitions through this). Manifest delete first
         so readers never see a half-deleted partition. Refuses while a
-        live view still reads through this partition."""
-        self._assert_not_view_base(pid, "drop_partition")
+        live view still reads through this partition (``force=True``
+        skips the scan for pre-ordered dependents-first sweeps)."""
+        if not force:
+            self._assert_not_view_base(pid, "drop_partition")
         try:
             self._retry(self.fs.rm_file, self._manifest_key(pid))
         except FileNotFoundError:
@@ -318,7 +321,10 @@ class ObjectStore(SnapshotStoreMixin):
             return 0
         dead = [k for k in have if k not in live]
         for k in dead:
-            self._retry(self.fs.rm_file, k)
+            try:
+                self._retry(self.fs.rm_file, k)
+            except FileNotFoundError:
+                pass  # a retried DELETE whose first attempt won = success
         return len(dead)
 
     # -- scratch space (distributed loser passes) ------------------------------
@@ -411,6 +417,11 @@ class ObjectStore(SnapshotStoreMixin):
         import ray.data as rd
 
         if pid is None:
+            if getattr(self, "_mcache", None) is None:
+                # ONE manifest prefetch covers the snapshot probe AND the
+                # flat files(None) fallthrough
+                with self._manifest_cache(self._all_manifests()):
+                    return self.read_dataset(None, columns=columns)
             snap = self._snapshot_read_dataset(columns)
             if snap is not None:
                 return snap
@@ -439,6 +450,9 @@ class ObjectStore(SnapshotStoreMixin):
 
     def read_table(self, pid: str | None = None, columns: list[str] | None = None) -> pa.Table:
         if pid is None:
+            if getattr(self, "_mcache", None) is None:
+                with self._manifest_cache(self._all_manifests()):
+                    return self.read_table(None, columns=columns)
             snap = self._snapshot_read_table(columns)
             if snap is not None:
                 return snap
@@ -463,7 +477,8 @@ class ObjectStore(SnapshotStoreMixin):
         return pa.concat_tables(tabs)
 
     # -- upsert ----------------------------------------------------------------
-    def merge_insert(self, pid: str, updates: pa.Table, key: str) -> None:
+    def merge_insert(self, pid: str, updates: pa.Table, key: str, *,
+                     allow_view_base: bool = False) -> None:
         """Upsert by key. Untouched fragments are re-referenced in the new
         manifest AS-IS (zero copies, zero moves — strictly better than the
         local backend's hard links); only fragments containing an updated
@@ -471,7 +486,8 @@ class ObjectStore(SnapshotStoreMixin):
         if not self.is_done(pid):
             self.append_table(pid, updates)
             return
-        self._assert_not_view_base(pid, "merge_insert")
+        if not allow_view_base:  # True = key-and-count-preserving upsert
+            self._assert_not_view_base(pid, "merge_insert")
         if self._view_of(pid):
             self._materialize_upsert(pid, updates, key)
             self.gc(pid)  # the view's now-unreferenced delete objects
@@ -516,8 +532,10 @@ class ObjectStore(SnapshotStoreMixin):
         self._put_manifest(pid, manifest)
         self.gc(pid)
 
-    def rewrite_partition(self, pid: str, fragment_fn, meta: dict | None = None) -> int:
-        self._assert_not_view_base(pid, "rewrite_partition")
+    def rewrite_partition(self, pid: str, fragment_fn, meta: dict | None = None,
+                          *, allow_view_base: bool = False) -> int:
+        if not allow_view_base:  # True = fn is row-count/key-preserving
+            self._assert_not_view_base(pid, "rewrite_partition")
         m = self.manifest(pid)
         supersedes = m.get("supersedes")
         src_files = m["files"]

@@ -97,7 +97,11 @@ class SnapshotStoreMixin:
 
     def _all_manifests(self) -> dict[str, dict]:
         """pid -> manifest, every manifest fetched exactly ONCE (manifest
-        GETs are the dominant metadata cost on a remote object store)."""
+        GETs are the dominant metadata cost on a remote object store).
+        Served straight from an active :meth:`_manifest_cache`."""
+        c = getattr(self, "_mcache", None)
+        if c is not None:
+            return c
         return {p: self.manifest(p) for p in self.partitions()}
 
     @contextmanager
@@ -105,12 +109,14 @@ class SnapshotStoreMixin:
         """Serve ``manifest()`` from a prefetched map for the duration of a
         whole-store read, so per-pid view resolution (files / _view_of /
         base reads) re-uses the one fetch pass instead of issuing per-pid
-        GETs. Driver-side reads only; writers never run under the cache."""
+        GETs. Driver-side reads only; writers never run under the cache.
+        Nests: an inner scope restores the outer cache on exit."""
+        prev = getattr(self, "_mcache", None)
         self._mcache = ms
         try:
             yield
         finally:
-            self._mcache = None
+            self._mcache = prev
 
     def _cached_manifest(self, pid: str) -> dict | None:
         c = getattr(self, "_mcache", None)
@@ -193,19 +199,26 @@ class SnapshotStoreMixin:
     def _snapshot_read_table(self, columns):
         """Whole-store table read with snapshot semantics; ``None`` means
         no live view exists, so the caller's flat files() fast path is
-        exact (files()/rows() already restrict to live pids)."""
+        exact (files()/rows() already restrict to live pids). Runs the
+        whole resolution — including the caller's files() fallthrough —
+        under ONE manifest prefetch."""
+        if getattr(self, "_mcache", None) is None:
+            with self._manifest_cache(self._all_manifests()):
+                return self._snapshot_read_table(columns)
         ms = self._all_manifests()
         live = self._live_of(ms)
         if not any(m.get("view") for m in live.values()):
             return None
-        with self._manifest_cache(ms):
-            tabs = [t for t in (self.read_table(p, columns=columns)
-                                for p in live) if t.num_columns]
+        tabs = [t for t in (self.read_table(p, columns=columns)
+                            for p in live) if t.num_columns]
         return pa.concat_tables(tabs) if tabs else pa.table({})
 
     def _snapshot_read_dataset(self, columns):
         """Whole-store Dataset read with snapshot semantics (union of
         per-pid reads); ``None`` -> flat fast path is exact."""
+        if getattr(self, "_mcache", None) is None:
+            with self._manifest_cache(self._all_manifests()):
+                return self._snapshot_read_dataset(columns)
         ms = self._all_manifests()
         live = self._live_of(ms)
         if not any(m.get("view") for m in live.values()):
@@ -230,8 +243,7 @@ class SnapshotStoreMixin:
         pids = [p for p in live if carries_schema(p)]
         if not pids:
             return rd.from_arrow(pa.table({}))
-        with self._manifest_cache(ms):
-            dss = [self.read_dataset(p, columns=columns) for p in pids]
+        dss = [self.read_dataset(p, columns=columns) for p in pids]
         out = dss[0]
         for d in dss[1:]:
             out = out.union(d)
@@ -290,11 +302,14 @@ class ImageStore(SnapshotStoreMixin):
         with open(self._manifest_path(pid)) as f:
             return json.load(f)
 
-    def drop_partition(self, pid: str) -> None:
+    def drop_partition(self, pid: str, *, force: bool = False) -> None:
         """Uncommit + reclaim a partition (shared surface with ObjectStore).
         Manifest removed first so readers never see a half-deleted one.
-        Refuses while a live view still reads through this partition."""
-        self._assert_not_view_base(pid, "drop_partition")
+        Refuses while a live view still reads through this partition;
+        ``force=True`` skips the scan when the caller has already ordered
+        drops dependents-first (CrawlEngine's closure sweep)."""
+        if not force:
+            self._assert_not_view_base(pid, "drop_partition")
         try:
             os.remove(self._manifest_path(pid))
         except OSError:
@@ -545,6 +560,11 @@ class ImageStore(SnapshotStoreMixin):
         import ray.data as rd
 
         if pid is None:
+            if getattr(self, "_mcache", None) is None:
+                # ONE manifest prefetch covers the snapshot probe AND the
+                # flat files(None) fallthrough
+                with self._manifest_cache(self._all_manifests()):
+                    return self.read_dataset(None, columns=columns)
             snap = self._snapshot_read_dataset(columns)
             if snap is not None:
                 return snap
@@ -575,6 +595,9 @@ class ImageStore(SnapshotStoreMixin):
 
     def read_table(self, pid: str | None = None, columns: list[str] | None = None) -> pa.Table:
         if pid is None:
+            if getattr(self, "_mcache", None) is None:
+                with self._manifest_cache(self._all_manifests()):
+                    return self.read_table(None, columns=columns)
             snap = self._snapshot_read_table(columns)
             if snap is not None:
                 return snap
@@ -617,7 +640,8 @@ class ImageStore(SnapshotStoreMixin):
             write_fragment(kept, out_path, compression=compression)
         return kept.num_rows
 
-    def merge_insert(self, pid: str, updates: pa.Table, key: str) -> None:
+    def merge_insert(self, pid: str, updates: pa.Table, key: str, *,
+                     allow_view_base: bool = False) -> None:
         """Upsert rows of one partition by key (reference:
         13_calculate_image_stats.py:109-116 / 14_calculate_closest_frames.py:122-129
         ``bulk_update``), committed atomically.
@@ -630,7 +654,9 @@ class ImageStore(SnapshotStoreMixin):
         if not self.is_done(pid):
             self.append_table(pid, updates)
             return
-        self._assert_not_view_base(pid, "merge_insert")
+        if not allow_view_base:  # True = caller asserts the upsert is
+            # key-and-count-preserving, so dependent views stay exact
+            self._assert_not_view_base(pid, "merge_insert")
         if self._view_of(pid):
             # view partitions have no fragments of their own: materialize
             self._materialize_upsert(pid, updates, key)
@@ -662,14 +688,16 @@ class ImageStore(SnapshotStoreMixin):
         self._commit(pid, tmp_dir, rows + updates.num_rows, m.get("meta"),
                      supersedes=m.get("supersedes"))
 
-    def rewrite_partition(self, pid: str, fragment_fn, meta: dict | None = None) -> int:
+    def rewrite_partition(self, pid: str, fragment_fn, meta: dict | None = None,
+                          *, allow_view_base: bool = False) -> int:
         """Map every fragment through ``fragment_fn(pa.Table) -> pa.Table``
         into a new atomically-committed partition, ONE FRAGMENT AT A TIME
         (driver memory = one fragment) — the streaming path for
         schema-widening rewrites. A VIEW pid is materialized: each base
         fragment passes through the delete vector first, and the new
         plain partition keeps the base shadowed. Returns total rows."""
-        self._assert_not_view_base(pid, "rewrite_partition")
+        if not allow_view_base:  # True = fn is row-count/key-preserving
+            self._assert_not_view_base(pid, "rewrite_partition")
         m = self.manifest(pid)
         supersedes = m.get("supersedes")
         if m.get("view"):

@@ -339,3 +339,22 @@ def test_dup_winners_string_schema_survives_empty_buckets(ray_session):
     rows = out.to_pandas()
     assert rows.to_dict("records") == [
         {"phash": "k00001", "__min": 1, "__n": 2}]
+
+
+def test_read_sharded_backcompat_rows_listing(tmp_path):
+    """Stores written before the meta-only listing change kept the shard
+    list as data rows; read_sharded must still resolve them."""
+    import pyarrow as pa
+
+    from logcrawler_ray.pipelines.ingest import read_sharded
+    from logcrawler_ray.sources.store import ImageStore
+
+    store = ImageStore(str(tmp_path / "s"))
+    store.append_table("sh-shard-00000",
+                       pa.table({"image_id": ["a", "b"], "phash": [1, 2]}))
+    store.commit_delete_view("sh-view-00000", "sh-shard-00000", ["b"],
+                             key_col="image_id")
+    store.append_table("sh", pa.table({"shards": ["sh-view-00000"]}),
+                       meta={"pipeline": "ingest", "rows_total": 1})
+    out = read_sharded(store, "sh").to_pandas()
+    assert list(out["image_id"]) == ["a"]

@@ -391,6 +391,12 @@ def test_live_view_base_is_guarded(tmp_path):
             st.merge_insert("base", upd, key="image_id")
         with pytest.raises(ValueError):
             st.rewrite_partition("base", lambda t: t)
+        # escape hatch: a key/count-preserving upsert (the CLI stats flow)
+        # may opt out — the view keeps reading exactly
+        st.merge_insert("base", pa.table({"image_id": ["b"], "v": [20]}),
+                        key="image_id", allow_view_base=True)
+        assert st.read_table("v")["v"].to_pylist() == [20]
+        assert st.rows("v") == 1
         st.drop_partition("v")
         st.merge_insert("base", upd, key="image_id")
         assert st.rows() == 3
