@@ -185,16 +185,26 @@ class SnapshotStoreMixin:
 
     def _materialize_upsert(self, pid: str, updates, key: str) -> None:
         """merge_insert on a view pid: materialize into a plain partition,
-        keeping the base SHADOWED in the whole-store snapshot."""
+        keeping the base SHADOWED in the whole-store snapshot.
+
+        STREAMING, never the whole partition in driver memory: the
+        rewrite pass runs base fragments through the delete vector and
+        drops the updated keys ONE FRAGMENT AT A TIME; the follow-up
+        plain upsert then re-references every rewritten fragment
+        (nothing contains an updated key anymore) and adds the updates
+        as one new fragment. Two commits instead of one — a crash
+        between them leaves a correct store that simply lacks the
+        upsert, the same observable state as crashing before a
+        single-commit upsert."""
         import pyarrow.compute as pc
 
-        m = self.manifest(pid)
-        current = self.read_table(pid)
-        upd = pa.array(sorted(set(updates[key].to_pylist())))
-        kept = current.filter(pc.invert(pc.is_in(current[key], value_set=upd)))
-        merged = pa.concat_tables([kept, updates.select(current.column_names)])
-        self.append_table(pid, merged, meta=m.get("meta"),
-                          supersedes=self._shadow_from(m))
+        upd_keys = pa.array(sorted(set(updates[key].to_pylist())))
+
+        def drop_updated(t: pa.Table) -> pa.Table:
+            return t.filter(pc.invert(pc.is_in(t[key], value_set=upd_keys)))
+
+        self.rewrite_partition(pid, drop_updated)
+        self.merge_insert(pid, updates, key=key)
 
     def _snapshot_read_table(self, columns):
         """Whole-store table read with snapshot semantics; ``None`` means
