@@ -263,6 +263,48 @@ class ObjectStore(SnapshotStoreMixin):
         except FileNotFoundError:
             return []
 
+    def compact_partition(self, pid: str, target_rows: int = 100_000) -> int:
+        """Merge small fragments into ~``target_rows``-row objects (same
+        contract as ImageStore.compact_partition: content-identical, safe
+        under live views, driver memory bounded by one output file).
+        Commits manifest-last; old objects become gc-able garbage."""
+        m = self.manifest(pid)
+        if m.get("view"):
+            raise ValueError("compact the BASE partition; views have no "
+                             "fragments of their own")
+        pafs = self._pafs()
+        stage = self._new_stage(pid)
+        new_files: list[str] = []
+        buf: list[pa.Table] = []
+        buffered = total = 0
+
+        def flush():
+            nonlocal buf, buffered, total
+            if not buf:
+                return
+            nk = posixpath.join(stage, f"compact-{len(new_files):05d}.parquet")
+            write_fragment(pa.concat_tables(buf), self._url(nk),
+                           compression=self.compression)
+            new_files.append(nk)
+            total += buffered
+            buf, buffered = [], 0
+
+        for f in m["files"]:
+            with pafs.open_input_file(f) as fh:
+                t = pq.read_table(fh)
+            buf.append(t)
+            buffered += t.num_rows
+            if buffered >= target_rows:
+                flush()
+        flush()
+        manifest = {"rows": total, "files": sorted(new_files),
+                    "meta": m.get("meta", {})}
+        if m.get("supersedes"):
+            manifest["supersedes"] = m["supersedes"]
+        self._put_manifest(pid, manifest)
+        self.gc(pid)
+        return len(new_files)
+
     def append_meta(self, pid: str, meta: dict) -> None:
         """Commit a fileless zero-row metadata-only partition (shared
         surface with ImageStore.append_meta)."""

@@ -360,6 +360,44 @@ class ImageStore(SnapshotStoreMixin):
                        compression=self.compression)
         self._commit(pid, tmp_dir, table.num_rows, meta, supersedes)
 
+    def compact_partition(self, pid: str, target_rows: int = 100_000) -> int:
+        """Merge small fragments into ~``target_rows``-row files (lakehouse
+        compaction — the flip side of the many-small-files write default
+        that read fan-out wants). Content-identical rewrite: row counts,
+        keys and order-within-fragments are unchanged, so it is safe under
+        live views over this partition. Driver memory is bounded by
+        ``target_rows`` (one output file's rows at a time). ``supersedes``
+        and meta ride through the commit. Returns the new fragment count."""
+        m = self.manifest(pid)
+        if m.get("view"):
+            raise ValueError("compact the BASE partition; views have no "
+                             "fragments of their own")
+        tmp_dir = self._part_dir(pid) + f".tmp.{uuid.uuid4().hex}"
+        os.makedirs(tmp_dir)
+        buf: list[pa.Table] = []
+        buffered = n_out = total = 0
+
+        def flush():
+            nonlocal buf, buffered, n_out, total
+            if not buf:
+                return
+            write_fragment(pa.concat_tables(buf),
+                           os.path.join(tmp_dir, f"compact-{n_out:05d}.parquet"),
+                           compression=self.compression)
+            total += buffered
+            n_out += 1
+            buf, buffered = [], 0
+
+        for f in self.files(pid):
+            t = pq.read_table(f)
+            buf.append(t)
+            buffered += t.num_rows
+            if buffered >= target_rows:
+                flush()
+        flush()
+        self._commit(pid, tmp_dir, total, m.get("meta"))
+        return n_out
+
     def append_meta(self, pid: str, meta: dict) -> None:
         """Commit a FILELESS zero-row partition that exists only for its
         manifest metadata (e.g. ingest_sharded's shard listing) — invisible

@@ -444,3 +444,35 @@ def test_transient_faults_are_retried():
     with pytest.raises(FileNotFoundError):
         st.manifest("nope")
     assert fs.calls == before + 1
+
+
+def test_compact_partition(tmp_path):
+    """Fragment compaction: content-identical, fragment count collapses to
+    ceil(rows/target), meta + supersedes + live views over the partition
+    all survive, and (objstore) old objects are gc'd."""
+    for st in (_st(), ImageStore(str(tmp_path / "img"), shared_fs=True)):
+        stage = st.external_tmp("p")
+        for i in range(6):
+            write_fragment(pa.table({"image_id": [f"k{i}a", f"k{i}b"],
+                                     "v": [i * 2, i * 2 + 1]}),
+                           posixpath.join(stage, f"part-{i}.parquet"))
+        st.commit_external("p", stage, meta={"src": "test"})
+        st.commit_delete_view("pv", "p", ["k3a"], key_col="image_id")
+        before = st.read_table("p").sort_by("image_id")
+        # flush at >=5 buffered with 2-row fragments -> two 6-row files
+        assert st.compact_partition("p", target_rows=5) == 2
+        after = st.manifest("p")
+        assert len(after["files"]) == 2 and after["rows"] == 12
+        assert after["meta"] == {"src": "test"}
+        assert st.read_table("p").sort_by("image_id").equals(before)
+        # the view over the compacted base still reads exactly
+        assert st.rows("pv") == 11
+        assert "k3a" not in st.read_table("pv")["image_id"].to_pylist()
+        if isinstance(st, ObjectStore):
+            live = set(after["files"]) | {
+                k for k in st.fs.find(st._key("data", "pv"))
+                if k.endswith(".parquet")}
+            assert {k for k in st.fs.find(st._key("data")) 
+                    if k.endswith(".parquet")} == live
+        with pytest.raises(ValueError):
+            st.compact_partition("pv")  # views have no fragments
