@@ -8,6 +8,11 @@
          [--force] [--shards-of N]
   python -m logcrawler_ray stats  --store DIR --pid P [--force]
   python -m logcrawler_ray report --store DIR
+  python -m logcrawler_ray compact --store DIR --pid P [--target-rows N]
+  python -m logcrawler_ray gc      --store URL   # object-store backend
+
+``--store`` accepts a plain path (local backend) or an fsspec URL
+(``s3://…`` routes to the object-store backend via open_store).
 
 The CLI owns its Ray session (guarded init; the driver contract in
 __ray_entry__.py never goes through here).
@@ -52,17 +57,21 @@ def cmd_crawl(args) -> int:
 
 def cmd_ingest(args) -> int:
     from .pipelines.ingest import ingest_sharded
-    from .sources.store import ImageStore
+    from .sources.objstore import open_store
 
     _ray_session()
     files = sorted(glob.glob(args.input))
     if not files:
         print(f"no input files match {args.input}", file=sys.stderr)
         return 2
-    store = ImageStore(args.store)
+    store = open_store(args.store)
     if args.force:
-        shutil.rmtree(args.store, ignore_errors=True)
-        store = ImageStore(args.store)
+        if "://" in args.store:
+            for p in store.partitions():
+                store.drop_partition(p, force=True)
+        else:
+            shutil.rmtree(args.store, ignore_errors=True)
+            store = open_store(args.store)
     # memory-aware sizing from the actual input row width (tuning.py):
     # block/batch targets so batch x concurrency fits a worker heap
     import pyarrow.parquet as pq
@@ -96,25 +105,50 @@ def cmd_ingest(args) -> int:
 
 def cmd_stats(args) -> int:
     from .pipelines.update import update_image_stats
-    from .sources.store import ImageStore
+    from .sources.objstore import open_store
 
     _ray_session()
-    store = ImageStore(args.store)
+    store = open_store(args.store)
     n = update_image_stats(store, args.pid, force=args.force)
     print(json.dumps({"updated": n}))
     return 0
 
 
 def cmd_report(args) -> int:
-    from .sources.store import ImageStore
+    from .sources.objstore import open_store
 
-    store = ImageStore(args.store)
+    store = open_store(args.store)
     out = []
     for pid in store.partitions():
         m = store.manifest(pid)
         out.append({"pid": pid, "rows": m["rows"], "view": bool(m.get("view")),
                     "meta": m.get("meta", {})})
     print(json.dumps({"partitions": out, "total_rows": store.rows()}))
+    return 0
+
+
+def cmd_compact(args) -> int:
+    from .sources.objstore import open_store
+
+    store = open_store(args.store)
+    n = store.compact_partition(args.pid, target_rows=args.target_rows)
+    print(json.dumps({"pid": args.pid, "fragments": n,
+                      "rows": store.rows(args.pid)}))
+    return 0
+
+
+def cmd_gc(args) -> int:
+    from .sources.objstore import open_store
+
+    store = open_store(args.store)
+    if not hasattr(store, "gc"):
+        # local backend has no unreferenced-object state: commits sweep
+        # their own stale tmp dirs
+        print(json.dumps({"removed": 0}))
+        return 0
+    per = {p: store.gc(p) for p in store.partitions()}
+    print(json.dumps({"removed": sum(per.values()),
+                      "per_pid": {k: v for k, v in per.items() if v}}))
     return 0
 
 
@@ -208,6 +242,16 @@ def main(argv: list[str] | None = None) -> int:
     r = sub.add_parser("report", help="partition/lineage report from manifests")
     r.add_argument("--store", required=True)
     r.set_defaults(fn=cmd_report)
+
+    k = sub.add_parser("compact", help="merge small fragments of a partition")
+    k.add_argument("--store", required=True)
+    k.add_argument("--pid", required=True)
+    k.add_argument("--target-rows", type=int, default=100_000)
+    k.set_defaults(fn=cmd_compact)
+
+    g = sub.add_parser("gc", help="reclaim unreferenced objects (object-store backend)")
+    g.add_argument("--store", required=True)
+    g.set_defaults(fn=cmd_gc)
 
     e = sub.add_parser("repr-export",
                        help="write per-log representation.json artifacts "

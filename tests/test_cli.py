@@ -97,3 +97,32 @@ def test_cli_dump_frame(tmp_path, capsys):
 
     rc = main(["dump-frame", str(log), "--frame", "99"])
     assert rc == 2
+
+
+def test_cli_compact_and_gc(ray_session, tmp_path, capsys):
+    """compact merges a crawl wave's fragments; gc on an object-store root
+    reports reclaimed objects (0 when clean), local root reports 0."""
+    store, ckpt = str(tmp_path / "s"), str(tmp_path / "c")
+    main(["crawl", "--store", store, "--ckpt", ckpt, "--seeds", "8",
+          "--hosts", "4", "--waves", "2", "--wave-size", "32"])
+    capsys.readouterr()
+    from logcrawler_ray.sources.objstore import open_store
+
+    st = open_store(store)
+    wave = [p for p in st.partitions() if p.startswith("wave-")][0]
+    rows_before = st.rows(wave)
+    rc = main(["compact", "--store", store, "--pid", wave,
+               "--target-rows", "1000"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["fragments"] == 1 and out["rows"] == rows_before
+    rc = main(["gc", "--store", store])
+    assert rc == 0
+    assert json.loads(capsys.readouterr().out.strip().splitlines()[-1])["removed"] == 0
+    # object-store root: gc walks partitions (clean store -> 0 removed)
+    obj = f"local://{tmp_path}/obj"
+    ost = open_store(obj)
+    ost.append_table("p", pq.read_table(st.files(wave)[0]))
+    rc = main(["gc", "--store", obj])
+    assert rc == 0
+    assert json.loads(capsys.readouterr().out.strip().splitlines()[-1])["removed"] == 0
