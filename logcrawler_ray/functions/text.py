@@ -116,8 +116,9 @@ def shingle_hashes(text: str, n: int = 3,
         from .hashing import md5_hash64_array
 
         return md5_hash64_array(list(grams))
-    out = np.fromiter((hash64_str(g) for g in grams), dtype=np.uint64, count=len(grams))
-    return out
+    from .hashing import hash64_str_array
+
+    return hash64_str_array(list(grams))
 
 
 def jaccard(a: np.ndarray, b: np.ndarray) -> float:

@@ -254,32 +254,40 @@ def _route_links(t: pa.Table, *, seed: int, mode: str, n_shards: int,
     depths = pc.cast(pc.take(t2["depth"], parent_idx), pa.int32())
 
     m = pc.extract_regex(flat, pattern=_CANONICAL_URL_RE)
-    urls = flat.to_pylist()
-    hosts = m.field("host").to_pylist()
-    paths = m.field("path").to_pylist()
     if m.null_count:  # slow path: the few non-canonical spellings
+        urls = flat.to_pylist()
+        hosts = m.field("host").to_pylist()
+        paths = m.field("path").to_pylist()
         for i in np.flatnonzero(
                 ~pc.is_valid(m).to_numpy(zero_copy_only=False)):
             cu = canonicalize(urls[i])
             urls[i] = cu
             hosts[i] = host_of(cu)
             paths[i] = path_of(cu)
+        url_arr = pa.array(urls, pa.string())
+        host_arr = pa.array(hosts, pa.string())
+        path_arr = pa.array(paths, pa.string())
+    else:  # fast path: stay zero-copy Arrow end-to-end (no pylist round trip)
+        url_arr = flat
+        host_arr = m.field("host")
+        path_arr = m.field("path")
     # vectorized priority (url_priority's exact arithmetic, batched) and
-    # shard routing (host_hash % n_shards, batched)
+    # shard routing (host_hash % n_shards, batched); hash64_str_array reads
+    # the Arrow UTF-8 buffers directly
     if mode == "fifo":
-        prio = np.zeros(len(urls), dtype=np.int32)
+        prio = np.zeros(len(url_arr), dtype=np.int32)
     else:
-        p = (splitmix64(hash64_str_array(urls) ^ np.uint64(seed))
+        p = (splitmix64(hash64_str_array(url_arr) ^ np.uint64(seed))
              % np.uint64(10)).astype(np.int32)
         prio = (9 - p) if mode == "reverse" else p
-    shard = (hash64_str_array(hosts, seed=0x05757)
+    shard = (hash64_str_array(host_arr, seed=0x05757)
              % np.uint64(n_shards)).astype(np.int32)
     return pa.table({
         "seq": pc.cast(seqs, pa.int64()),
         "idx": pa.array(idx),
-        "url": pa.array(urls, pa.string()),
-        "host": pa.array(hosts, pa.string()),
-        "path": pa.array(paths, pa.string()),
+        "url": url_arr,
+        "host": host_arr,
+        "path": path_arr,
         "depth": depths,
         "priority": pa.array(prio),
         "shard": pa.array(shard),

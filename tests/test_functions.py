@@ -2,6 +2,8 @@
 
 import numpy as np
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from logcrawler_ray.functions import hashing, image_stats, phash, urlnorm
 
@@ -102,6 +104,39 @@ def test_hash64_array_matches_scalar():
     vals = ["a", "bb", "ccc"]
     arr = hashing.hash64_str_array(vals)
     assert [int(x) for x in arr] == [hashing.hash64_str(v) for v in vals]
+
+
+def test_hash64_array_matches_scalar_edge_cases():
+    """The vectorized word-fold and the pure-int scalar are ONE spec — the
+    serial executor (scalar) and the Ray engine (vector) share the ordering
+    contract, so equality here pins crawl-equivalence byte-for-byte."""
+    import pyarrow as pa
+
+    vals = ["", "a", "1234567", "12345678", "123456789", "x" * 16, "x" * 17,
+            "héllo ☃", "\ud800lone-surrogate", "y" * 2048, "z" * 2049,
+            "http://host-0001.test/p/7"]
+    for seed in (0, 1, 0x5EED, 0x05757):
+        vec = hashing.hash64_str_array(vals, seed=seed)
+        assert [int(x) for x in vec] == [hashing.hash64_str(v, seed=seed) for v in vals]
+    # Arrow inputs (incl. sliced / chunked / large_string) are zero-copy paths
+    ok = [v for v in vals if "\ud800" not in v]
+    arr = pa.array(ok)
+    expect = [hashing.hash64_str(v) for v in ok]
+    assert [int(x) for x in hashing.hash64_str_array(arr)] == expect
+    assert [int(x) for x in hashing.hash64_str_array(arr.slice(2, 6))] == expect[2:8]
+    chunked = pa.chunked_array([arr.slice(0, 4), arr.slice(4)])
+    assert [int(x) for x in hashing.hash64_str_array(chunked)] == expect
+    assert ([int(x) for x in hashing.hash64_str_array(arr.cast(pa.large_string()))]
+            == expect)
+    assert len(hashing.hash64_str_array([])) == 0
+
+
+@given(st.lists(st.text(min_size=0, max_size=120), max_size=60),
+       st.integers(min_value=0, max_value=2**32 - 1))
+@settings(max_examples=60, deadline=None)
+def test_hash64_array_property(vals, seed):
+    vec = hashing.hash64_str_array(vals, seed=seed)
+    assert [int(x) for x in vec] == [hashing.hash64_str(v, seed=seed) for v in vals]
 
 
 def test_splitmix64_vectorized_matches_scalar():
