@@ -36,6 +36,29 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None, **kw):
     return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns, **kw)
 
 
+# Staged-oracle pattern: for pipelines whose INPUT the driver's ten SQL views
+# can't express (wire-format logs, synthetic corpora), the Ray query stages a
+# deterministic intermediate as parquet under a FIXED path and the oracle SQL
+# reads it back with read_parquet(...). The driver runs the Ray callable
+# immediately before its oracle, so the staged file is always the one this
+# run produced; writes are atomic (tmp + rename) so a crashed run never
+# leaves a torn file for the next.
+_STAGE_DIR = "/tmp/lcray_oracle_stage"
+
+
+def _stage(name: str, table: pa.Table) -> str:
+    import os
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(_STAGE_DIR, exist_ok=True)
+    path = f"{_STAGE_DIR}/{name}.parquet"
+    tmp = f"{path}.tmp-{os.getpid()}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return path
+
+
 def _round(df: pd.DataFrame, cols: dict[str, int]) -> pd.DataFrame:
     for c, nd in cols.items():
         df[c] = df[c].round(nd)
@@ -866,11 +889,55 @@ def q43_naoth_proto(sf_dir: str):
             .reset_index(drop=True))
 
 
-@_q("q46_behavior_tree")
+@_q(
+    "q46_behavior_tree",
+    f"""
+    WITH RECURSIVE walk AS (
+        SELECT log_id, frame_number, json(tree) AS node, '' AS path, 0 AS depth
+        FROM read_parquet('{_STAGE_DIR}/q46_trees.parquet')
+      UNION ALL
+        SELECT w.log_id, w.frame_number,
+               json_extract(w.node, '$.active_sub_actions[' || i || '].option')
+                 AS node,
+               w.path || format('{{:05d}}', i) AS path, w.depth + 1 AS depth
+        FROM walk w, LATERAL (
+            SELECT unnest(range(CAST(coalesce(
+                json_array_length(w.node, '$.active_sub_actions'), 0)
+                AS BIGINT))) AS i) t
+        WHERE TRY_CAST(json_extract_string(
+                w.node, '$.active_sub_actions[' || i || '].type') AS BIGINT) = 0
+          AND json_extract(w.node, '$.active_sub_actions[' || i || '].option')
+              IS NOT NULL
+    ),
+    omap AS (SELECT * FROM read_parquet('{_STAGE_DIR}/q46_omap.parquet')),
+    opts AS (SELECT DISTINCT option_internal, option_global FROM omap)
+    SELECT w.log_id, w.frame_number,
+           ROW_NUMBER() OVER (PARTITION BY w.log_id, w.frame_number
+                              ORDER BY w.path) - 1 AS "order",
+           w.depth,
+           COALESCE(o.option_global, -1) AS options_id,
+           CASE WHEN o.option_global IS NULL THEN -1
+                ELSE COALESCE(s.state_global, -1) END AS active_state
+    FROM walk w
+    LEFT JOIN opts o
+      ON o.option_internal = TRY_CAST(json_extract_string(w.node, '$.id') AS BIGINT)
+    LEFT JOIN omap s
+      ON s.option_internal = TRY_CAST(json_extract_string(w.node, '$.id') AS BIGINT)
+     AND s.state_internal = TRY_CAST(json_extract_string(w.node, '$.active_state')
+                                     AS BIGINT)
+    """,
+)
 def q46_behavior_tree(sf_dir: str):
     """Recursive option-tree walk (10_input_behavior_frames.py:64-94):
     wire-encoded XABSL trees decoded + DFS-walked distributed, internal ids
-    mapped through the broadcast option map. Rows-only deterministic."""
+    mapped through the broadcast option map.
+
+    Oracled (round-4 verdict #2): the PRE-ENCODE trees are staged as JSON
+    and DuckDB replays the whole wire round-trip + DFS via a recursive CTE
+    (pre-order = lexicographic zero-padded sibling paths), joining the
+    staged option map for the internal->global id rule."""
+    import json
+
     import ray.data as rd
 
     from .codecs import protowire as pw
@@ -890,6 +957,7 @@ def q46_behavior_tree(sf_dir: str):
                     for t, sub in subs]}
 
     rows = []
+    staged = []
     for log in range(2):
         for fn in range(1, 11):
             root = tree(0, fn % 3, [
@@ -902,6 +970,13 @@ def q46_behavior_tree(sf_dir: str):
             ])
             rows.append({"log_id": log, "payload": pw.encode_message(
                 {"root": root, "frame_number": fn}, XABSL_TREE)})
+            staged.append({"log_id": log, "frame_number": fn,
+                           "tree": json.dumps(root)})
+    _stage("q46_trees", pa.Table.from_pylist(staged))
+    _stage("q46_omap", pa.Table.from_pylist([
+        {"option_internal": i, "option_global": 100 + i,
+         "state_internal": s, "state_global": 1000 + 10 * i + s}
+        for i in range(6) for s in range(3)]))
     out = explode_option_trees(rd.from_items(rows), option_map).to_pandas()
     return (out.sort_values(["log_id", "frame_number", "order"], kind="mergesort")
             .reset_index(drop=True))
@@ -1738,26 +1813,71 @@ def q30_crawl(sf_dir: str):
     return pd.DataFrame(log, columns=["wave", "seq", "url", "fetch_time"])
 
 
-@_q("q38_ann_ivf_lsh")
+@_q(
+    "q38_ann_ivf_lsh",
+    f"""
+    WITH exact AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q.vec_id AS q_id, b.vec_id AS vec_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+                                                 b.embedding::DOUBLE[]) DESC,
+                          b.vec_id) AS rank
+        FROM (SELECT * FROM embeddings
+              WHERE vec_id IN ({",".join(map(str, _ANN_QUERY_IDS))})) q
+        CROSS JOIN embeddings b)
+      WHERE rank <= 10
+    ),
+    approx AS (SELECT * FROM read_parquet('{_STAGE_DIR}/q38_approx.parquet'))
+    SELECT a.method, a.q_id,
+           ROUND(COUNT(e.vec_id) / 10.0, 4) AS recall_at_10,
+           (COUNT(e.vec_id) >= 6) AS meets_floor
+    FROM approx a
+    LEFT JOIN exact e ON e.q_id = a.q_id AND e.vec_id = a.vec_id
+    GROUP BY a.method, a.q_id
+    """,
+)
 def q38_ann_ivf_lsh(sf_dir: str):
-    """BOTH bounded ANN scale paths in one gate (merged former q26 so each
-    stays inside the driver's grading window): IVF (kmeans centroids,
-    n_probe clusters scanned) and LSH (hyperplane buckets, Hamming probes)
-    top-k, distinguished by a ``method`` column. Rows-only."""
-    from .stages.ann import ivf_topk_cosine, lsh_topk_cosine
+    """BOTH bounded ANN scale paths, graded by recall@10 against the exact
+    top-k (round-4 verdict #3): IVF (kmeans centroids, n_probe clusters
+    scanned, id-sorted deterministic training) and LSH (6 independent
+    hyperplane tables, Hamming-3 probes). The approximate neighbor lists
+    are staged; the oracle recomputes the EXACT top-10 in SQL
+    (list_cosine_similarity, the q18-proven tie-break) and replays the
+    recall — so the hash gate checks both the recall arithmetic and the
+    floor (recall@10 >= 0.6 for every method x query)."""
+    from .stages.ann import ivf_topk_cosine, lsh_topk_cosine, topk_cosine
 
-    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    ds = _read(sf_dir, "embeddings",
+               columns=["vec_id", "embedding"]).materialize()
     qrows = _read(sf_dir, "embeddings",
                   filter=pc.field("vec_id").isin(_ANN_QUERY_IDS)).take_all()
     qrows.sort(key=lambda r: r["vec_id"])
     qm = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in qrows])
     qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
-    ivf = ivf_topk_cosine(ds, qm, qids, k=10, n_clusters=16, n_probe=6)
-    lsh = lsh_topk_cosine(ds, qm, qids, k=10, n_planes=12, probe_hamming=4)
+    ivf = ivf_topk_cosine(ds, qm, qids, k=10, n_clusters=16, n_probe=8)
+    lsh = lsh_topk_cosine(ds, qm, qids, k=10, n_planes=12, probe_hamming=3,
+                          n_tables=6)
     ivf.insert(0, "method", "ivf")
     lsh.insert(0, "method", "lsh")
-    out = pd.concat([ivf, lsh], ignore_index=True)
-    return out.sort_values(list(out.columns)).reset_index(drop=True)
+    approx = pd.concat([ivf, lsh], ignore_index=True)
+    _stage("q38_approx", pa.Table.from_pandas(
+        approx[["method", "q_id", "vec_id"]], preserve_index=False))
+
+    exact = topk_cosine(ds, qm, qids, k=10)
+    ex: dict = {}
+    for q, g in exact.groupby("q_id"):
+        ex[int(q)] = set(g["vec_id"])
+    out_rows = []
+    for (method, q), g in approx.groupby(["method", "q_id"]):
+        hits = len(set(g["vec_id"]) & ex[int(q)])
+        out_rows.append({"method": method, "q_id": int(q),
+                         "recall_at_10": round(hits / 10.0, 4),
+                         "meets_floor": hits >= 6})
+    out = pd.DataFrame(out_rows)
+    out["q_id"] = out["q_id"].astype(np.int64)
+    return out.sort_values(["method", "q_id"]).reset_index(drop=True)
 
 
 @_q("q39_video_frames")
@@ -1792,14 +1912,30 @@ def q39_video_frames(sf_dir: str):
     return out.sort_values(["video_id", "frame_idx"]).reset_index(drop=True)
 
 
-@_q("q54_naoth_closest")
+@_q(
+    "q54_naoth_closest",
+    f"""
+    SELECT l.log_no, l.frame_number, l.frame_time,
+           COALESCE((SELECT r.frame_number
+                     FROM read_parquet('{_STAGE_DIR}/q54_right.parquet') r
+                     WHERE r.log_no = l.log_no
+                     ORDER BY abs(l.frame_time - r.frame_time), r.frame_number
+                     LIMIT 1), -1) AS closest_image_frame
+    FROM read_parquet('{_STAGE_DIR}/q54_left.parquet') l
+    """,
+)
 def q54_naoth_closest(sf_dir: str):
     """END-TO-END NaoTH chain (round-2 verdict #6): wire-format logs ->
     distributed protowire parse -> FrameInfo.frame_time -> J4 closest join
     aligning every cognition frame to its nearest image-bearing frame per
     log, ties to the smaller frame number — the reference's
     07_input_cognition_data_rust.py:92-96 feeding
-    14_calculate_closest_frames.py:38-83. Rows-only deterministic."""
+    14_calculate_closest_frames.py:38-83.
+
+    Oracled via the staged-parquet pattern (round-4 verdict #1): the parsed
+    FrameInfo sides are staged and DuckDB replays the nearest-|dt| /
+    tie->smaller-id rule as a correlated ORDER BY — the closest-join half is
+    hash-gated; the wire parse stays pinned by tests/test_protoparse."""
     import ray
     import ray.data as rd
 
@@ -1813,7 +1949,11 @@ def q54_naoth_closest(sf_dir: str):
 
     def only_frameinfo(t: pa.Table) -> pa.Table:
         sel = t.filter(pc.equal(t["name"], "FrameInfo"))
-        return sel.select(["log_no", "frame_number", "frame_time"])
+        return pa.table({
+            "log_no": pc.cast(sel["log_no"], pa.int64()),
+            "frame_number": pc.cast(sel["frame_number"], pa.int64()),
+            "frame_time": pc.cast(sel["frame_time"], pa.int64()),
+        })
 
     fi = parsed.map_batches(only_frameinfo, batch_format="pyarrow")
 
@@ -1836,9 +1976,16 @@ def q54_naoth_closest(sf_dir: str):
         return t.filter(pc.is_in(pa.array(k), value_set=ray.get(keys)))
 
     right = fi.map_batches(with_images, batch_format="pyarrow")
+    fi = fi.materialize()  # consumed by the join AND the oracle stage
+    right = right.materialize()
+    _stage("q54_left", pa.concat_tables(
+        b for b in fi.iter_batches(batch_format="pyarrow")))
+    _stage("q54_right", pa.concat_tables(
+        b for b in right.iter_batches(batch_format="pyarrow")))
     out = closest_rows(fi, right, by="log_no", time_col="frame_time",
                        id_col="frame_number",
                        out_col="closest_image_frame").to_pandas()
+    out["closest_image_frame"] = out["closest_image_frame"].astype(np.int64)
     return (out.sort_values(["log_no", "frame_number"])
             .reset_index(drop=True))
 

@@ -322,6 +322,10 @@ def ivf_topk_cosine(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
     sample = ds.map_batches(pick, batch_format="pyarrow").to_pandas()
     if len(sample) == 0:
         sample = ds.limit(min(train_sample, n_total)).to_pandas()
+    # id-sorted training rows: kmeans' float sums are order-sensitive, and
+    # block arrival order is not part of the contract — sorting makes the
+    # centroids (hence recall) a pure function of (data, params, seed)
+    sample = sample.sort_values(id_col, kind="mergesort")
     m_train = _normalize(
         np.stack([np.asarray(v, dtype=np.float64) for v in sample[vec_col]]))
     centroids = kmeans_fit(m_train, n_clusters, seed=seed)
@@ -367,17 +371,21 @@ def hyperplane_codes(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
 
 def lsh_topk_cosine(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
                     n_planes: int = 12, probe_hamming: int = 2, seed: int = 7,
+                    n_tables: int = 1,
                     id_col: str = "vec_id", vec_col: str = "embedding") -> pd.DataFrame:
     """Approximate top-k: scan only rows whose LSH code is within
-    ``probe_hamming`` of the query's code. Same output schema as
-    ``topk_cosine`` (q_id, vec_id, rank)."""
+    ``probe_hamming`` of the query's code in ANY of ``n_tables`` independent
+    hyperplane tables (the classic multi-table recall lever — each table's
+    candidate set misses independently, so the union's miss rate decays
+    geometrically). Same output schema as ``topk_cosine`` (q_id, vec_id,
+    rank); scanned fraction grows ~linearly with ``n_tables``."""
     import ray
 
     d = np.asarray(queries).shape[1]
     rng = np.random.default_rng(seed)
-    planes = rng.normal(size=(n_planes, d))
+    planes = rng.normal(size=(n_tables, n_planes, d))
     qn = _normalize(np.asarray(queries, dtype=np.float64))
-    qcodes = hyperplane_codes(qn, planes)
+    qcodes = np.stack([hyperplane_codes(qn, planes[t]) for t in range(n_tables)])
     ref = ray.put((qn, qcodes, planes))
 
     from ..functions.phash import hamming_batch
@@ -386,10 +394,14 @@ def lsh_topk_cosine(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10,
         q, qc, pl = ray.get(ref)
         m = _normalize(_to_matrix(batch[vec_col]))
         ids = batch[id_col].to_numpy()
-        codes = hyperplane_codes(m, pl)
+        codes = np.stack([hyperplane_codes(m, pl[t]) for t in range(len(pl))])
         out_q, out_id, out_sim = [], [], []
         for qi in range(len(q)):
-            mask = hamming_batch(codes, np.full_like(codes, qc[qi])) <= probe_hamming
+            mask = np.zeros(len(ids), dtype=bool)
+            for t in range(len(pl)):
+                mask |= (hamming_batch(codes[t], np.full(len(ids), qc[t, qi],
+                                                         dtype=np.uint64))
+                         <= probe_hamming)
             if not mask.any():
                 continue
             s = q[qi] @ m[mask].T
