@@ -784,20 +784,44 @@ def q23_doc_quality(sf_dir: str):
         score, batch_format="pyarrow")
 
 
-@_q("q25_corpus_ingest")
+@_q(
+    "q25_corpus_ingest",
+    f"""
+    WITH pre AS (SELECT * FROM read_parquet('{_STAGE_DIR}/q25_predup.parquet'))
+    SELECT image_id, host, fmt, w, h, phash, resolution,
+           CAST(host_hash & 63 AS INT) AS bucket
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY phash
+                                       ORDER BY image_id) AS rn
+          FROM pre)
+    WHERE rn = 1
+    ORDER BY image_id
+    """,
+)
 def q25_corpus_ingest(sf_dir: str):
     """Flagship image pipeline at query scale: deterministic corpus sized
     from the documents table -> decode+stats+phash -> exact phash dedup.
-    Deterministic rows-only result (no bytes in the output)."""
+
+    Partially oracled (round-4 verdict #5): the decoded PRE-DEDUP rows are
+    staged and DuckDB replays first-wins winner selection (min image_id per
+    phash) AND the host-hash bucket assignment (host_hash & 63 — the
+    unsigned mod-64 rule over the two's-complement low bits). Decode stats
+    themselves stay pinned by the cv2-kernel-equivalence pytests."""
     import pyarrow.parquet as pq
 
-    from .pipelines.ingest import ingest
+    from .pipelines.ingest import add_bucket, decode_pipeline
     from .sources.corpus import corpus_dataset
+    from .stages.dedup import dedup_exact
 
     n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
     n = max(64, min(n_docs, 256))
-    ds = ingest(corpus_dataset(n, seed=42, batch_size=64), store=None,
-                concurrency=2, batch_size=64, keep_bytes=False)
+    pre = add_bucket(decode_pipeline(
+        corpus_dataset(n, seed=42, batch_size=64), concurrency=2,
+        batch_size=64, keep_bytes=False)).materialize()
+    _stage("q25_predup", pa.concat_tables(
+        b.select(["image_id", "host", "host_hash", "fmt", "w", "h", "phash",
+                  "resolution"])
+        for b in pre.iter_batches(batch_format="pyarrow")))
+    ds = dedup_exact(pre, key="phash", order_col="image_id")
     out = ds.to_pandas()
     out = out[["image_id", "host", "fmt", "w", "h", "phash", "resolution", "bucket"]]
     return out.sort_values("image_id").reset_index(drop=True)
