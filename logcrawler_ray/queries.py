@@ -894,13 +894,39 @@ def _f5_proto_fixture_bytes(log_no: int) -> bytes:
     return write_records(frames)
 
 
-@_q("q43_naoth_proto")
+@_q(
+    "q43_naoth_proto",
+    """
+    WITH base AS (
+      SELECT l.log_no, f.fn
+      FROM (SELECT unnest(range(3)) AS log_no) l,
+           (SELECT unnest(range(1, 16)) AS fn) f)
+    SELECT log_no, fn AS frame_number, 'FrameInfo' AS name,
+           1000 + 33 * fn + 7 * log_no AS frame_time,
+           CAST(NULL AS BIGINT) AS width, CAST(NULL AS BIGINT) AS height,
+           CAST(NULL AS BIGINT) AS data_len, CAST(NULL AS BIGINT) AS n_patches
+    FROM base
+    UNION ALL
+    SELECT log_no, fn, 'Image', NULL, 8, 6, 96, NULL FROM base WHERE fn % 2 = 0
+    UNION ALL
+    SELECT log_no, fn, 'ImageTop', NULL, 4, 3, 24, NULL FROM base WHERE fn % 4 = 0
+    UNION ALL
+    SELECT log_no, fn, 'BallCandidates', NULL, NULL, NULL, NULL, 2
+    FROM base WHERE fn % 3 = 0
+    """,
+)
 def q43_naoth_proto(sf_dir: str):
     """Protobuf-wire representation parsing (S3/M9): F5 fixture logs whose
     payloads are real wire bytes are scanned + parsed distributed
     (stages/protoparse.py); BallCandidates patches arrive blob-stripped
     (07_input_cognition_data_rust.py:138-141), corrupt payloads skipped.
-    Rows-only deterministic."""
+
+    Oracled differentially: the fixture's fields are pure formulas of
+    (log_no, fn), so the SQL derives the expected long-form rows from the
+    generative rule alone — the Ray side must reproduce them through the
+    full encode -> write_records -> scan -> truncate-guard -> wire-parse
+    chain (the corrupt fn=9 payload must vanish, the ImageTop alias must
+    resolve, blob fields must arrive as lengths)."""
     import ray.data as rd
 
     from .stages.protoparse import parse_logs_dataset
@@ -1006,7 +1032,22 @@ def q46_behavior_tree(sf_dir: str):
             .reset_index(drop=True))
 
 
-@_q("q52_image_pipeline")
+@_q(
+    "q52_image_pipeline",
+    f"""
+    WITH f AS (SELECT * FROM read_parquet('{_STAGE_DIR}/q52_feats.parquet')),
+    q AS (SELECT * FROM f ORDER BY vec_id LIMIT 3)
+    SELECT q_id, vec_id, rank, score FROM (
+      SELECT q.vec_id AS q_id, b.vec_id AS vec_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.embedding, b.embedding) DESC,
+                        b.vec_id) AS rank,
+             b.score AS score
+      FROM q CROSS JOIN f b)
+    WHERE rank <= 3
+    """,
+)
 def q52_image_pipeline(sf_dir: str):
     """The image-axis flagship as a gate: deterministic corpus -> actor-pool
     ResizeStage (real decode -> area resize -> PNG re-encode) -> actor-pool
@@ -1014,7 +1055,12 @@ def q52_image_pipeline(sf_dir: str):
     ST2 stateful-model pattern with a real multi-MB weight blob loaded once
     per actor, stages/model.py — round-3 What's-missing #2) -> brute-force
     cosine top-3 over the extracted features (stages/ann.py), each hit
-    carrying its model score. Rows-only deterministic."""
+    carrying its model score.
+
+    Oracled via staged features: the extracted (vec_id, embedding, score)
+    rows are staged and DuckDB replays the cosine top-3 + score join with
+    the q18-proven tie-break — the ANN/join half is hash-gated; the decode/
+    resize/feature/model stages stay pinned by their pytest oracles."""
     import ray.data as rd
 
     from .sources.corpus import corpus_table
@@ -1052,6 +1098,13 @@ def q52_image_pipeline(sf_dir: str):
     feats = ds.map_batches(project, batch_format="pyarrow").materialize()
     rows = feats.take_all()
     rows.sort(key=lambda r: r["vec_id"])
+    _stage("q52_feats", pa.table({
+        "vec_id": pa.array([r["vec_id"] for r in rows], pa.int64()),
+        "embedding": pa.array(
+            [np.asarray(r["embedding"], dtype=np.float64).tolist()
+             for r in rows], pa.list_(pa.float64())),
+        "score": pa.array([float(r["score"]) for r in rows], pa.float64()),
+    }))
     qm = np.stack([np.asarray(rows[i]["embedding"], dtype=np.float64)
                    for i in range(3)])
     qids = np.array([rows[i]["vec_id"] for i in range(3)], dtype=np.int64)
@@ -1061,12 +1114,30 @@ def q52_image_pipeline(sf_dir: str):
     return out.sort_values(["q_id", "rank"]).reset_index(drop=True)
 
 
-@_q("q51_repr_export")
+@_q(
+    "q51_repr_export",
+    """
+    WITH spec(folder, file, names) AS (VALUES
+      ('log_a', 'combined.log', ['FrameInfo', 'Image', 'BallCandidates']),
+      ('log_a', 'sensor.log',   ['IMUData', 'MotorJointData']),
+      ('log_b', 'game.log',     ['FrameInfo', 'BehaviorStateSparse']))
+    SELECT folder,
+           CASE WHEN file = 'sensor.log' THEN 'motion'
+                ELSE 'cognition' END AS kind,
+           unnest(names) AS name
+    FROM spec
+    """,
+)
 def q51_repr_export(sf_dir: str):
     """Per-log representation.json export artifact (03_representation_
     exporter.py:58-115 analog, pipelines/repr_export.py): deterministic
     fixture logs -> distributed scan -> JSON artifacts + manifest meta;
-    returns the flattened (folder, kind, name) rows. Rows-only."""
+    returns the flattened (folder, kind, name) rows.
+
+    Oracled differentially: the SQL derives the expected rows from the
+    fixture spec + the classification rule (sensor.log -> motion, the
+    cognition log otherwise); the Ray side must reproduce them through
+    write_records -> distributed scan -> distinct-set export."""
     import shutil
     import tempfile
 
@@ -1104,9 +1175,42 @@ def q51_repr_export(sf_dir: str):
     return pd.DataFrame(rows, columns=["folder", "kind", "name"])
 
 
-@_q("q29_behavior_stream")
+@_q(
+    "q29_behavior_stream",
+    f"""
+    WITH inp AS (SELECT * FROM read_parquet('{_STAGE_DIR}/q29_input.parquet')),
+    marked AS (
+      SELECT log_id, seq, kind, ids, names, "values",
+             MAX(CASE WHEN kind = 'complete' THEN seq END)
+               OVER (PARTITION BY log_id ORDER BY seq) AS kf
+      FROM inp),
+    kfmap AS (
+      SELECT log_id, seq AS kf, unnest(ids) AS id, unnest(names) AS symbol
+      FROM inp WHERE kind = 'complete'),
+    upd AS (
+      SELECT m.log_id, m.seq, m.kf,
+             unnest(m.ids) AS id, unnest(m."values") AS value
+      FROM marked m WHERE m.kf IS NOT NULL),
+    valid AS (
+      SELECT u.* FROM upd u
+      JOIN kfmap k ON k.log_id = u.log_id AND k.kf = u.kf AND k.id = u.id)
+    SELECT e.log_id, e.seq, k.symbol,
+           (SELECT v.value FROM valid v
+            WHERE v.log_id = e.log_id AND v.kf = e.kf AND v.id = k.id
+              AND v.seq <= e.seq
+            ORDER BY v.seq DESC LIMIT 1) AS value
+    FROM (SELECT log_id, seq, kf FROM marked WHERE kf IS NOT NULL) e
+    JOIN kfmap k ON k.log_id = e.log_id AND k.kf = e.kf
+    """,
+)
 def q29_behavior_stream(sf_dir: str):
-    """Keyframe+delta ordered-state decoding (§2.8 / F7). Rows-only."""
+    """Keyframe+delta ordered-state decoding (§2.8 / F7).
+
+    Oracled via staged input: DuckDB replays the running-state semantics
+    as windows — kf = latest keyframe seq, the symbol table is the
+    keyframe's (id, name) explode, and each emitted value is the latest
+    in-segment update at or before the row (correlated ORDER BY seq DESC).
+    Orphan sparse rows (kf IS NULL) emit nothing on both sides."""
     import ray.data as rd
 
     from .stages.behavior import decode_behavior
@@ -1126,6 +1230,10 @@ def q29_behavior_stream(sf_dir: str):
                              "ids": [int(i) for i in ids], "names": [],
                              "values": [round(float(v), 3) for v in
                                         rng.normal(size=len(ids))]})
+    _stage("q29_input", pa.Table.from_pylist(rows, schema=pa.schema([
+        ("log_id", pa.int64()), ("seq", pa.int64()), ("kind", pa.string()),
+        ("ids", pa.list_(pa.int64())), ("names", pa.list_(pa.string())),
+        ("values", pa.list_(pa.float64()))])))
     out = decode_behavior(rd.from_items(rows)).to_pandas()
     return out.sort_values(["log_id", "seq", "symbol"]).reset_index(drop=True)
 
@@ -1539,29 +1647,55 @@ def q49_bbox_best_overlap(sf_dir: str):
 ORACLE_SQL["q49_bbox_best_overlap"] = _bb_best_sql()
 
 
-@_q("q50_audio_features")
+@_q(
+    "q50_audio_features",
+    f"""
+    WITH s AS (SELECT * FROM read_parquet('{_STAGE_DIR}/q50_samples.parquet')),
+    x AS (SELECT audio_id, v,
+                 LAG(v) OVER (PARTITION BY audio_id ORDER BY idx) AS prev
+          FROM s)
+    SELECT audio_id,
+           sqrt((CAST(SUM(CAST(v AS BIGINT) * v) AS DOUBLE) / 1073741824.0)
+                / COUNT(*)) AS rms,
+           CAST(SUM(CASE WHEN prev IS NOT NULL
+                          AND (v < 0) != (prev < 0) THEN 1 ELSE 0 END)
+                AS DOUBLE) / (COUNT(*) - 1) AS zcr
+    FROM x GROUP BY audio_id
+    """,
+)
 def q50_audio_features(sf_dir: str):
     """Audio feature extraction (PCM16 DSP, stages/multimodal.py) over
     deterministic synthesized tones — actor-pool plumbing with real numpy
-    DSP. Rows-only deterministic."""
+    DSP.
+
+    Oracled via staged raw samples: RMS and zero-crossing rate over int16
+    PCM are exact-integer aggregates (sum of squares < 2^53, crossing
+    counts), so DuckDB replays them bit-identically — the float ops on
+    both sides are correctly-rounded functions of the same exact integers
+    (see the SQL's power-of-two normalization). No rounding needed."""
     import ray.data as rd
 
     from .stages.multimodal import AudioFeatures
 
     rows = []
+    staged = []
     for i in range(16):
         t = np.arange(8000) / 16000.0
         freq = 110.0 * (1 + i % 8)
         amp = 0.2 + 0.05 * (i % 5)
         pcm = (np.sin(2 * np.pi * freq * t) * amp * 32767).astype("<i2")
         rows.append({"audio_id": i, "bytes": pcm.tobytes()})
+        staged.append(pa.table({
+            "audio_id": pa.array(np.full(len(pcm), i, dtype=np.int64)),
+            "idx": pa.array(np.arange(len(pcm), dtype=np.int64)),
+            "v": pa.array(pcm.astype(np.int16)),
+        }))
+    _stage("q50_samples", pa.concat_tables(staged))
     out = (rd.from_items(rows)
            .map_batches(AudioFeatures, fn_constructor_kwargs={},
                         batch_format="pyarrow", batch_size=8, concurrency=2)
            .to_pandas())
     out = out[["audio_id", "rms", "zcr"]].copy()
-    out["rms"] = out["rms"].round(6)
-    out["zcr"] = out["zcr"].round(6)
     return out.sort_values("audio_id").reset_index(drop=True)
 
 
@@ -1904,11 +2038,24 @@ def q38_ann_ivf_lsh(sf_dir: str):
     return out.sort_values(["method", "q_id"]).reset_index(drop=True)
 
 
-@_q("q39_video_frames")
+@_q(
+    "q39_video_frames",
+    f"""
+    SELECT video_id, frame_idx, brightness
+    FROM read_parquet('{_STAGE_DIR}/q39_expected.parquet')
+    WHERE frame_idx % 2 = 0
+    """,
+)
 def q39_video_frames(sf_dir: str):
     """Multimodal plumbing through the driver gate: deterministic fake
     videos -> frame-sampling actor stage -> per-video frame counts +
-    decoded-frame brightness. Rows-only."""
+    decoded-frame brightness.
+
+    Oracled differentially: per-frame brightness for EVERY frame is staged
+    straight from the pixel generator (no container encode/decode in that
+    path), and the SQL applies the every-2nd-frame sampling rule — the Ray
+    side must reproduce it through encode_fake_video -> actor-pool frame
+    sampling -> PNG decode -> grayscale (a lossless-roundtrip gate)."""
     import ray.data as rd
 
     from .functions.phash import grayscale
@@ -1917,9 +2064,16 @@ def q39_video_frames(sf_dir: str):
     from .stages.multimodal import VideoFrameSample, encode_fake_video
 
     vids = []
+    expected = []
     for v in range(6):
         frames = [_pixels(1000 * v + i, 32, 24) for i in range(5 + v % 3)]
         vids.append({"video_id": f"vid-{v:02d}", "bytes": encode_fake_video(frames)})
+        for i, fr in enumerate(frames):
+            expected.append({"video_id": f"vid-{v:02d}", "frame_idx": i,
+                             "brightness": round(float(grayscale(fr[None]).mean()), 4)})
+    _stage("q39_expected", pa.Table.from_pylist(expected, schema=pa.schema([
+        ("video_id", pa.string()), ("frame_idx", pa.int32()),
+        ("brightness", pa.float64())])))
     ds = rd.from_items(vids)
     sampled = ds.map_batches(VideoFrameSample, fn_constructor_kwargs={"every_k": 2},
                              batch_format="pyarrow", concurrency=1)
@@ -2042,13 +2196,37 @@ def q62_user_value_percentiles(sf_dir: str):
     return out.to_pandas().sort_values("user_id").reset_index(drop=True)
 
 
-@_q("q63_value_quantile_sketch")
+@_q(
+    "q63_value_quantile_sketch",
+    """
+    WITH s AS (SELECT CAST(min(value) AS DOUBLE) AS lo,
+                      CAST(max(value) AS DOUBLE) AS hi,
+                      count(*) AS total FROM events),
+    bins AS (
+      SELECT LEAST(GREATEST(CAST(floor(
+               (value - s.lo) * (4096 / (s.hi - s.lo))) AS BIGINT), 0), 4095)
+               AS bin,
+             count(*) AS c
+      FROM events, s GROUP BY 1),
+    cum AS (SELECT bin, SUM(c) OVER (ORDER BY bin) AS cum FROM bins),
+    qs AS (SELECT * FROM (VALUES (0.5), (0.9), (0.99)) t(q)),
+    r AS (SELECT q, GREATEST(CAST(ceil(q * s.total) AS BIGINT) - 1, 0) + 1
+                 AS target
+          FROM qs, s),
+    pick AS (SELECT r.q, MIN(cum.bin) AS bin
+             FROM r JOIN cum ON cum.cum >= r.target GROUP BY r.q)
+    SELECT pick.q, s.lo + (pick.bin + 1) * ((s.hi - s.lo) / 4096) AS est,
+           s.total AS total
+    FROM pick, s
+    """,
+)
 def q63_value_quantile_sketch(sf_dir: str):
     """Mergeable histogram-sketch global quantiles — the 10^10-row scale
     path (fixed O(nbins) memory everywhere; estimate within one bin width
-    above the true value). Deterministic: binning depends only on the
-    exact (min, max, nbins). Rows-only (approximate by design; the exact
-    counterpart is gated by q62/q41)."""
+    above the true value). The sketch is a pure function of (min, max,
+    nbins), so the oracle replays the ENTIRE pipeline in SQL straight from
+    the events view — same floor-binning, clip, rank rule, and bin-edge
+    estimator, bit-identical doubles (no staging, no rounding needed)."""
     import pandas as pd
 
     from .stages.quantiles import quantile_sketch, sketch_quantiles
@@ -2057,5 +2235,5 @@ def q63_value_quantile_sketch(sf_dir: str):
     sk = quantile_sketch(ds, "value", nbins=4096)
     qs = [0.5, 0.9, 0.99]
     est = sketch_quantiles(sk, qs)
-    return pd.DataFrame({"q": qs, "est": np.round(est, 6),
+    return pd.DataFrame({"q": qs, "est": est,
                          "total": np.int64(sk["total"])})
