@@ -146,7 +146,7 @@ def cmd_gc(args) -> int:
         # their own stale tmp dirs
         print(json.dumps({"removed": 0}))
         return 0
-    per = {p: store.gc(p) for p in store.partitions()}
+    per = {p: store.gc(p, grace_s=args.grace) for p in store.partitions()}
     print(json.dumps({"removed": sum(per.values()),
                       "per_pid": {k: v for k, v in per.items() if v}}))
     return 0
@@ -251,6 +251,10 @@ def main(argv: list[str] | None = None) -> int:
 
     g = sub.add_parser("gc", help="reclaim unreferenced objects (object-store backend)")
     g.add_argument("--store", required=True)
+    g.add_argument("--grace", type=float, default=3600.0,
+                   help="only reclaim objects older than this many seconds "
+                        "(an external sweep must not race an in-flight "
+                        "writer's staged objects); 0 = single-writer mode")
     g.set_defaults(fn=cmd_gc)
 
     e = sub.add_parser("repr-export",

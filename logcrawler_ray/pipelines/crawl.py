@@ -311,7 +311,8 @@ class WaveStage:
     """
 
     def __init__(self, web_params: dict, tmp_dir: str, *, seed: int, mode: str,
-                 n_shards: int, max_depth: int, compression: str = "none"):
+                 n_shards: int, max_depth: int, compression: str = "none",
+                 storage_options: dict | None = None):
         self.fetch = FetchWorker(web_params=web_params)
         self.decode = DecodeStats(keep_bytes=True)
         self.tmp_dir = tmp_dir
@@ -320,6 +321,7 @@ class WaveStage:
         self.n_shards = n_shards
         self.max_depth = max_depth
         self.compression = compression
+        self.storage_options = storage_options
 
     def __call__(self, t: pa.Table) -> pa.Table:
         import os
@@ -335,7 +337,8 @@ class WaveStage:
             min_seq = int(np.min(img["seq"].to_numpy()))
             write_fragment(
                 img, os.path.join(self.tmp_dir, f"part-{min_seq:010d}.parquet"),
-                compression=self.compression)
+                compression=self.compression,
+                storage_options=self.storage_options)
         return _route_links(decoded.select(["seq", "depth", "links"]),
                             seed=self.seed, mode=self.mode,
                             n_shards=self.n_shards, max_depth=self.max_depth)
@@ -481,12 +484,15 @@ class CrawlEngine:
         # overhead ~3x): tasks write image rows straight into the wave
         # partition's tmp dir and return only routed link columns.
         pid = f"wave-{wave_no:06d}"
+        self.store._assert_sink_visible()  # wave tasks write from workers
         tmp_dir = self.store.external_tmp(pid)
         stage_kwargs = dict(web_params=web_params, tmp_dir=tmp_dir,
                             seed=self.cfg.seed, mode=self.cfg.priority_mode,
                             n_shards=self.cfg.n_shards,
                             max_depth=self.cfg.max_depth,
-                            compression=self.store.compression)
+                            compression=self.store.compression,
+                            storage_options=getattr(self.store,
+                                                    "storage_options", None))
         if self.cfg.use_actors:
             routed = ds.map_batches(
                 WaveStage, fn_constructor_kwargs=stage_kwargs,

@@ -85,12 +85,13 @@ class IngestStage:
 
     def __init__(self, tmp_dir: str, keep_bytes: bool = True,
                  n_buckets: int = DEFAULT_BUCKETS, compression: str = "none",
-                 emit: str = "skinny"):
+                 emit: str = "skinny", storage_options: dict | None = None):
         self.decode = DecodeStats(keep_bytes=keep_bytes)
         self.tmp_dir = tmp_dir
         self.n_buckets = n_buckets
         self.compression = compression
         self.emit = emit
+        self.storage_options = storage_options
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import os
@@ -109,7 +110,8 @@ class IngestStage:
             # so min id is unique per batch; retried tasks overwrite)
             tag = format(int(hash64_str(min(ok["image_id"].to_pylist()))), "016x")
             write_fragment(ok, os.path.join(self.tmp_dir, f"part-{tag}.parquet"),
-                           compression=self.compression)
+                           compression=self.compression,
+                           storage_options=self.storage_options)
         if not ok.num_rows:
             if self.emit == "partials":
                 return pa.table({"phash": pa.array([], pa.int64()),
@@ -155,8 +157,10 @@ def ingest_sharded(source_files: list[str], store: ImageStore, *,
         # fused decode+sink per shard (IngestStage); the returned skinny
         # stream is discarded here — the cross-shard dedup pass below
         # re-reads it column-pruned so resume never re-decodes
+        store._assert_sink_visible()  # fused-sink tasks write from workers
         tmp_dir = store.external_tmp(spid)
         kwargs = dict(tmp_dir=tmp_dir, n_buckets=n_buckets,
+                      storage_options=getattr(store, "storage_options", None),
                       compression=store.compression)
         ds = rd.read_parquet(group)
         if concurrency is None:
@@ -211,8 +215,9 @@ def ingest_sharded(source_files: list[str], store: ImageStore, *,
         # groupby — no key or loser ever transits the driver
         store._assert_sink_visible()  # loser files are written by workers
         loser_dir = store.scratch_dir("losers-")
-        routed = exact_losers_files(skinny, "phash", "image_id", "__shard",
-                                    loser_dir, dups=dups)
+        routed = exact_losers_files(
+            skinny, "phash", "image_id", "__shard", loser_dir, dups=dups,
+            storage_options=getattr(store, "storage_options", None))
         for spid in shard_ids:
             if spid in routed:
                 path, _n = routed[spid]
@@ -283,8 +288,10 @@ def ingest(source_ds, store: ImageStore | None = None, pid: str = "ingest", *,
         # ONE fused execution: decode+stats+bucket+sink per task, the LOSER
         # PARTIALS as the return stream — no separate write operator, no
         # skinny re-read, and no second execution for the loser pass
+        store._assert_sink_visible()  # fused-sink tasks write from workers
         tmp_dir = store.external_tmp(raw_pid)
         kwargs = dict(tmp_dir=tmp_dir, keep_bytes=keep_bytes,
+                      storage_options=getattr(store, "storage_options", None),
                       n_buckets=n_buckets, compression=store.compression,
                       emit="partials" if dedup else "skinny")
         if concurrency is None:
@@ -425,6 +432,7 @@ def neardup_pass(store: ImageStore, base_pid: str, pid: str | None = None, *,
                                   id64_col="__id64", id_col="image_id")
     store._assert_sink_visible()  # worker writes into store scratch below
     loser_dir = store.scratch_dir("neardup-losers-")
+    sink_opts = getattr(store, "storage_options", None)
 
     def rebucket(t: pa.Table) -> pa.Table:
         return t.append_column("__g", _bucket_of(t["image_id"],
@@ -438,7 +446,8 @@ def neardup_pass(store: ImageStore, base_pid: str, pid: str | None = None, *,
         arr = pc.unique(g["image_id"].combine_chunks())
         arr = arr.take(pc.sort_indices(arr))
         fpath = os.path.join(loser_dir, f"losers-{gix:05d}.parquet")
-        write_fragment(pa.table({"image_id": arr}), fpath)
+        write_fragment(pa.table({"image_id": arr}), fpath,
+                       storage_options=sink_opts)
         return pa.table({"path": pa.array([fpath], pa.string()),
                          "n": pa.array([len(arr)], pa.int64())})
 

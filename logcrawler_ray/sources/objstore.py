@@ -44,12 +44,15 @@ from .store import ImageStore, SnapshotStoreMixin, write_fragment
 
 
 def _merge_one_fragment(fs_or_url, frag_key: str, dst_key: str, key: str,
-                        upd_keys, compression: str):
+                        upd_keys, compression: str,
+                        storage_options: dict | None = None):
     """One fragment of :meth:`ObjectStore.merge_insert` — runs serially on
     the driver or fanned out as a ``ray.remote`` task (per-fragment GET
     latency is highest exactly on remote stores, so the wide upsert must
     not be O(fragments) serial round trips).
 
+    ``storage_options`` rebuilds the driver's exact filesystem (endpoint,
+    credentials) when only the URL ships to the task (ADVICE r4).
     Key-column scan first; an untouched fragment is re-referenced AS-IS
     (metadata-only). Returns ``(live_key | None, rows)``."""
     import pyarrow.compute as pc
@@ -57,7 +60,7 @@ def _merge_one_fragment(fs_or_url, frag_key: str, dst_key: str, key: str,
     if isinstance(fs_or_url, str):
         import fsspec
 
-        fs, _ = fsspec.core.url_to_fs(fs_or_url)
+        fs, _ = fsspec.core.url_to_fs(fs_or_url, **(storage_options or {}))
     else:
         fs = fs_or_url
     with fs.open(frag_key, "rb") as fh:
@@ -72,7 +75,8 @@ def _merge_one_fragment(fs_or_url, frag_key: str, dst_key: str, key: str,
         return None, 0
     proto = fs.protocol if isinstance(fs.protocol, str) else fs.protocol[0]
     url = dst_key if proto in ("file", "local") else f"{proto}://{dst_key}"
-    write_fragment(kept, url, compression=compression)
+    write_fragment(kept, url, compression=compression,
+                   storage_options=storage_options)
     return dst_key, kept.num_rows
 
 
@@ -91,15 +95,21 @@ class ObjectStore(SnapshotStoreMixin):
     atomic commits (no renames — see module docstring)."""
 
     def __init__(self, root_url: str, compression: str = "none", fs=None,
-                 shared_fs: bool = True, retries: int = 4):
+                 shared_fs: bool = True, retries: int = 4,
+                 storage_options: dict | None = None):
         import fsspec
 
         if not shared_fs:
             raise ValueError("an object store is shared by definition; "
                              "shared_fs=False is contradictory here")
         self.retries = retries
+        # fsspec connection kwargs (endpoint_url, key/secret, ...) — kept on
+        # the store and SHIPPED TO EVERY TASK-SIDE url_to_fs so workers
+        # rebuild the driver's exact filesystem, not a default one (ADVICE
+        # r4: a MinIO-style custom endpoint must not misroute task writes).
+        self.storage_options = dict(storage_options or {})
         if fs is None:
-            fs, root = fsspec.core.url_to_fs(root_url)
+            fs, root = fsspec.core.url_to_fs(root_url, **self.storage_options)
         else:
             root = fs._strip_protocol(root_url)
         self.fs = fs
@@ -234,7 +244,8 @@ class ObjectStore(SnapshotStoreMixin):
                      supersedes: list[str] | None = None) -> None:
         stage = self._new_stage(pid)
         key = posixpath.join(stage, "part-0.parquet")
-        write_fragment(table, self._url(key), compression=self.compression)
+        write_fragment(table, self._url(key), compression=self.compression,
+                       storage_options=self.storage_options)
         manifest = {"rows": table.num_rows, "files": [key], "meta": meta or {}}
         if supersedes is not None:  # explicit [] = clear (skip inheritance)
             manifest["supersedes"] = supersedes
@@ -284,6 +295,7 @@ class ObjectStore(SnapshotStoreMixin):
                 return
             nk = posixpath.join(stage, f"compact-{len(new_files):05d}.parquet")
             write_fragment(pa.concat_tables(buf), self._url(nk),
+                           storage_options=self.storage_options,
                            compression=self.compression)
             new_files.append(nk)
             total += buffered
@@ -317,7 +329,17 @@ class ObjectStore(SnapshotStoreMixin):
         return self._url(self._new_stage(pid))
 
     def _assert_sink_visible(self) -> None:
-        return  # every node sees the object store
+        # memory:// is PER-PROCESS: Ray workers would write into their own
+        # private store, commit_external would list an empty stage and
+        # silently commit 0 rows (ADVICE r4). Real object stores pass.
+        if self._proto == "memory":
+            import ray
+
+            if ray.is_initialized():
+                raise RuntimeError(
+                    "memory:// ObjectStore is process-local — Ray task sinks "
+                    "would write to a different store; use local:// or a "
+                    "shared filesystem URL for Ray-executed pipelines")
 
     def commit_external(self, pid: str, tmp_dir: str, meta: dict | None = None) -> int:
         stage = self.fs._strip_protocol(tmp_dir)
@@ -344,10 +366,43 @@ class ObjectStore(SnapshotStoreMixin):
         except FileNotFoundError:
             pass
 
-    def gc(self, pid: str) -> int:
+    def gc(self, pid: str, grace_s: float = 0.0) -> int:
         """Delete data objects of ``pid`` not referenced by its manifest
-        (crashed stages, superseded upsert fragments). Safe any time AFTER
-        commit: readers only follow manifest keys. Returns objects removed."""
+        (crashed stages, superseded upsert fragments). Returns objects
+        removed.
+
+        SINGLE-WRITER contract at ``grace_s=0``: safe any time after commit
+        *for the writer itself* (readers only follow manifest keys; the
+        internal post-commit calls are this case). An EXTERNAL sweep (the
+        CLI ``gc`` subcommand) running concurrently with another writer's
+        in-flight ``merge_insert``/``compact_partition`` would delete its
+        staged-but-not-yet-referenced objects and corrupt the commit
+        (ADVICE r4) — pass ``grace_s`` > the longest plausible write (the
+        CLI defaults to 3600) so only objects older than the grace window
+        are reclaimed; objects without an mtime are kept."""
+        import datetime
+
+        def _young(key: str) -> bool:
+            if grace_s <= 0:
+                return False
+            try:
+                info = self._retry(self.fs.info, key)
+            except FileNotFoundError:
+                return True  # gone already — nothing to reclaim
+            mt = info.get("mtime") or info.get("LastModified") \
+                or info.get("last_modified")
+            if mt is None:
+                return True  # unknown age: never reclaim under a grace sweep
+            if isinstance(mt, (int, float)):
+                age = time.time() - mt
+            elif isinstance(mt, datetime.datetime):
+                now = datetime.datetime.now(mt.tzinfo) if mt.tzinfo \
+                    else datetime.datetime.now()
+                age = (now - mt).total_seconds()
+            else:
+                return True
+            return age < grace_s
+
         live: set[str] = set()
         if self.is_done(pid):
             m = self.manifest(pid)
@@ -361,7 +416,7 @@ class ObjectStore(SnapshotStoreMixin):
                     if k.endswith(".parquet")]
         except FileNotFoundError:
             return 0
-        dead = [k for k in have if k not in live]
+        dead = [k for k in have if k not in live and not _young(k)]
         for k in dead:
             try:
                 self._retry(self.fs.rm_file, k)
@@ -389,6 +444,7 @@ class ObjectStore(SnapshotStoreMixin):
         stage = self._new_stage(pid)
         dkey = posixpath.join(stage, "deletes.parquet")
         write_fragment(pa.table({key_col: keys}), self._url(dkey),
+                       storage_options=self.storage_options,
                        compression=self.compression)
         return self._commit_view(pid, base_pid, [dkey], key_col, len(keys), meta)
 
@@ -543,8 +599,11 @@ class ObjectStore(SnapshotStoreMixin):
         else:
             schema_names = updates.column_names
         stage = self._new_stage(pid)
-        jobs = [(f, posixpath.join(stage, posixpath.basename(f)))
-                for f in files]
+        # index-prefixed destination keys: two source fragments from
+        # DIFFERENT stages may share a basename; a bare-basename dst would
+        # overwrite one and double-reference the other (ADVICE r4)
+        jobs = [(f, posixpath.join(stage, f"{i:05d}-{posixpath.basename(f)}"))
+                for i, f in enumerate(files)]
         import ray
 
         # Fan out one task per fragment (mirrors ImageStore.merge_insert's
@@ -555,7 +614,8 @@ class ObjectStore(SnapshotStoreMixin):
             task = ray.remote(num_cpus=1)(_merge_one_fragment)
             kref = ray.put(upd_keys)
             results = ray.get([
-                task.remote(self.root, src, dst, key, kref, self.compression)
+                task.remote(self.root, src, dst, key, kref, self.compression,
+                            self.storage_options)
                 for src, dst in jobs])
         else:
             results = [_merge_one_fragment(self.fs, src, dst, key, upd_keys,
@@ -565,7 +625,8 @@ class ObjectStore(SnapshotStoreMixin):
         rows = sum(r for _, r in results)
         up = updates.select(schema_names)
         uk = posixpath.join(stage, f"upsert-{uuid.uuid4().hex}.parquet")
-        write_fragment(up, self._url(uk), compression=self.compression)
+        write_fragment(up, self._url(uk), compression=self.compression,
+                       storage_options=self.storage_options)
         new_files.append(uk)
         manifest = {"rows": rows + up.num_rows, "files": sorted(new_files),
                     "meta": m.get("meta", {})}
@@ -588,12 +649,15 @@ class ObjectStore(SnapshotStoreMixin):
         pafs = self._pafs()
         stage = self._new_stage(pid)
         new_files, rows = [], 0
-        for f in src_files:
+        for i, f in enumerate(src_files):
             with pafs.open_input_file(f) as fh:
                 out = fragment_fn(pq.read_table(fh))
             if out.num_rows:
-                nk = posixpath.join(stage, posixpath.basename(f))
-                write_fragment(out, self._url(nk), compression=self.compression)
+                # index prefix: source fragments from different stages may
+                # share a basename (ADVICE r4)
+                nk = posixpath.join(stage, f"{i:05d}-{posixpath.basename(f)}")
+                write_fragment(out, self._url(nk), compression=self.compression,
+                               storage_options=self.storage_options)
                 new_files.append(nk)
                 rows += out.num_rows
         manifest = {"rows": rows, "files": sorted(new_files),

@@ -54,21 +54,35 @@ except ImportError:
 _DICT_COLS = frozenset({"host", "fmt", "resolution", "lang", "name", "label"})
 
 
-def write_fragment(table: pa.Table, path: str, compression: str = "none") -> None:
+def write_fragment(table: pa.Table, path: str, compression: str = "none",
+                   storage_options: dict | None = None) -> None:
     """Hot-path parquet fragment writer (task-side sinks + store commits):
     dictionary encoding only where it pays (see ``_DICT_COLS``).
 
     ``path`` may be an fsspec URL (``s3://…``, ``memory://…``) — the
     ObjectStore backend hands fused-sink tasks a staging URL and each task
-    PUTs its fragment directly; plain paths keep the local fast path."""
+    PUTs its fragment directly; plain paths keep the local fast path.
+    ``storage_options`` are the ObjectStore's fsspec connection kwargs
+    (endpoint, credentials) — REQUIRED wherever the driver's filesystem was
+    built with them, else task-side writes reconnect with defaults and
+    misroute (ADVICE r4)."""
     use_dict = [n for n in table.column_names if n in _DICT_COLS]
     if "://" in path:
         import fsspec
 
-        fs, key = fsspec.core.url_to_fs(path)
-        with fs.open(key, "wb") as f:
-            pq.write_table(table, f, compression=compression,
-                           use_dictionary=use_dict)
+        fs, key = fsspec.core.url_to_fs(path, **(storage_options or {}))
+        try:
+            with fs.open(key, "wb") as f:
+                pq.write_table(table, f, compression=compression,
+                               use_dictionary=use_dict)
+        except FileNotFoundError:
+            # directory-ful fs behind the URL (dir://, sftp, ...) whose
+            # stage prefix only exists on the driver's instance — object
+            # stores never hit this branch
+            fs.makedirs(key.rsplit("/", 1)[0], exist_ok=True)
+            with fs.open(key, "wb") as f:
+                pq.write_table(table, f, compression=compression,
+                               use_dictionary=use_dict)
         return
     pq.write_table(table, path, compression=compression,
                    use_dictionary=use_dict)

@@ -290,7 +290,8 @@ def typed_from_pandas(df: pd.DataFrame) -> pa.Table:
 
 def exact_losers_files(skinny_ds, key: str, order_col: str, part_col: str,
                        out_dir: str, dups=None,
-                       num_buckets: int = 64) -> dict:
+                       num_buckets: int = 64,
+                       storage_options: dict | None = None) -> dict:
     """The bucketed 10^10 loser path (SCALE.md §4): losers are computed and
     ROUTED fully distributed — the driver never holds a key, a winner, or a
     loser, only per-partition counts and file paths.
@@ -364,7 +365,8 @@ def exact_losers_files(skinny_ds, key: str, order_col: str, part_col: str,
         arr = pc.unique(g[order_col].combine_chunks())
         arr = arr.take(pc.sort_indices(arr))
         path = os.path.join(out_dir, f"losers-{part}.parquet")
-        write_fragment(pa.table({order_col: arr}), path)
+        write_fragment(pa.table({order_col: arr}), path,
+                       storage_options=storage_options)
         return pa.table({part_col: [part], "path": [path],
                          "n": pa.array([len(arr)], pa.int64())})
 

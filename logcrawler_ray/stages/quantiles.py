@@ -56,6 +56,16 @@ def grouped_percentiles(ds, group_col: str, value_col: str,
         if not 0 < q <= 1:
             raise ValueError(f"{name}: quantile {q} outside (0, 1]")
 
+    # the ORIGINAL Arrow value type: a bucket that received a null marker
+    # sees pandas upcast an integer column to float64, which would emit
+    # float64 percentile columns in SOME buckets and int64 in others —
+    # mixed block schemas + a dtype divergence from quantile_disc (ADVICE
+    # r4). Every bucket casts its picks back to this type.
+    sch = ds.schema()
+    val_type = dict(zip(sch.names, sch.types))[value_col]
+    if not isinstance(val_type, pa.DataType):  # pandas-backed block schema
+        val_type = pa.from_numpy_dtype(val_type)
+
     def tag(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
@@ -86,9 +96,10 @@ def grouped_percentiles(ds, group_col: str, value_col: str,
         from .dedup import typed_from_pandas
 
         if len(df) == 0:  # empty sort-boundary block
-            return typed_from_pandas(
-                pd.DataFrame({group_col: df[group_col],
-                              **{n: df[value_col] for n in qs}}))
+            tab = typed_from_pandas(pd.DataFrame({group_col: df[group_col]}))
+            for n in qs:  # typed empty columns — block schemas must agree
+                tab = tab.append_column(n, pa.nulls(0, val_type))
+            return tab
         df = (df.sort_values([group_col, value_col], kind="mergesort")
               .reset_index(drop=True))
         # factorize: null/NaN group keys get ONE code (one run) instead of
@@ -112,9 +123,17 @@ def grouped_percentiles(ds, group_col: str, value_col: str,
         has = pa.array(nv > 0)
         for name, q in qs.items():
             idx = starts + np.where(nv > 0, _disc_index(q, np.maximum(nv, 1)), 0)
-            col = pa.array(vals[idx])
+            picks = vals[idx]
+            if len(picks) and (nv == 0).any() and picks.dtype.kind == "f" \
+                    and not pa.types.is_floating(val_type):
+                # all-null groups picked a NaN placeholder — neutral-fill
+                # before the integer cast (masked to NULL below anyway)
+                picks = np.where(nv > 0, picks, 0)
+            col = pa.array(picks)
+            if not col.type.equals(val_type):
+                col = pc.cast(col, val_type)  # undo the null-marker upcast
             tab = tab.append_column(
-                name, pc.if_else(has, col, pa.scalar(None, col.type)))
+                name, pc.if_else(has, col, pa.scalar(None, val_type)))
         return tab
 
     return (ds.map_batches(tag, batch_format="pyarrow")

@@ -476,3 +476,72 @@ def test_compact_partition(tmp_path):
                     if k.endswith(".parquet")} == live
         with pytest.raises(ValueError):
             st.compact_partition("pv")  # views have no fragments
+
+
+# --------------------------------------------------------- round-5 advice
+def test_storage_options_thread_to_task_side_writes(ray_session, tmp_path):
+    """ADVICE r4: a filesystem that REQUIRES connection options (fsspec's
+    dir:// needs ``path``; a MinIO s3:// needs endpoint/creds) must work
+    for task-side writes too — the URL alone reconstructs the wrong fs.
+    dir:// is the strictest probe: url_to_fs without the option RAISES."""
+    import fsspec
+
+    import ray.data as rd
+    from logcrawler_ray.pipelines.ingest import ingest
+    from logcrawler_ray.sources.corpus import corpus_dataset
+
+    with pytest.raises(Exception):
+        fsspec.core.url_to_fs("dir://anything")  # options are load-bearing
+
+    st = ObjectStore("dir://store", storage_options={"path": str(tmp_path)})
+    # full fused-sink pipeline: IngestStage tasks write fragments into the
+    # external_tmp URL from Ray workers — only works if storage_options
+    # shipped with the URL
+    out = ingest(corpus_dataset(96, seed=5, batch_size=32), store=st,
+                 pid="p", batch_size=32)
+    n = out.count()
+    assert n > 0 and st.rows("p") == n
+    assert (tmp_path / "store" / "data").exists()
+
+    # metadata-only upsert fan-out (ray tasks rebuild the fs per fragment)
+    upd = st.read_table("p").slice(0, 3)
+    st.merge_insert("p", upd, key="image_id", allow_view_base=True)
+    assert st.rows("p") == n
+
+
+def test_memory_store_sink_guard_under_ray(ray_session):
+    """memory:// is per-process: worker-written sinks would silently
+    commit 0 rows — the pipelines' _assert_sink_visible must refuse."""
+    st = _st()
+    with pytest.raises(RuntimeError, match="process-local"):
+        st._assert_sink_visible()
+
+
+def test_gc_grace_period_spares_young_objects():
+    st = _st()
+    st.append_table("p", pa.table({"image_id": ["a"], "v": [1]}))
+    stray = st._key("data", "p", "stage-stray", "orphan.parquet")
+    write_fragment(pa.table({"image_id": ["x"]}), f"memory://{stray}")
+    # a concurrent writer's staged-but-unreferenced object is YOUNG:
+    # a grace sweep must keep it, the writer's own gc (grace 0) reclaims
+    assert st.gc("p", grace_s=3600) == 0
+    assert st.gc("p") == 1
+
+
+def test_merge_insert_same_basename_fragments_keep_rows():
+    """ADVICE r4: two source fragments with EQUAL basenames (from different
+    stages) must not collapse onto one destination key in the rewrite."""
+    st = _st()
+    k1 = st._key("data", "p", "stage-one", "part-0.parquet")
+    k2 = st._key("data", "p", "stage-two", "part-0.parquet")
+    write_fragment(pa.table({"image_id": ["a", "b"], "v": [1, 2]}),
+                   f"memory://{k1}")
+    write_fragment(pa.table({"image_id": ["c", "d"], "v": [3, 4]}),
+                   f"memory://{k2}")
+    st._put_manifest("p", {"rows": 4, "files": [k1, k2], "meta": {}})
+    st.merge_insert("p", pa.table({"image_id": ["a", "c"], "v": [10, 30]}),
+                    key="image_id")
+    got = st.read_table("p").sort_by("image_id")
+    assert got.column("image_id").to_pylist() == ["a", "b", "c", "d"]
+    assert got.column("v").to_pylist() == [10, 2, 30, 4]
+    assert st.rows("p") == 4

@@ -102,6 +102,31 @@ def test_grouped_percentiles_ignores_null_values(ray_session):
     assert pd.isna(by_key[2])
 
 
+def test_grouped_percentiles_int_column_keeps_dtype(ray_session):
+    """ADVICE r4: a bucket that received a null marker saw pandas upcast an
+    int value column to float64 — percentile columns must come back as the
+    ORIGINAL integer type in every bucket (mixed block schemas otherwise,
+    and a dtype divergence from DuckDB quantile_disc's integer result)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    t = pa.table({
+        "g": pa.array(list(range(16)) * 4, pa.int64()),
+        "v": pa.array([None if i % 16 == 3 else i for i in range(64)],
+                      pa.int64()),
+    })
+    ds = rd.from_arrow(t)
+    out = grouped_percentiles(ds, "g", "v", {"p50": 0.5, "p90": 0.9})
+    sch = dict(zip(out.schema().names, out.schema().types))
+    assert sch["p50"] == pa.int64() and sch["p90"] == pa.int64()
+    pdf = out.to_pandas().set_index("g")
+    # group 3 is ALL-null -> NULL percentiles; every other group got the
+    # exact sorted-element pick, still integers
+    assert pd.isna(pdf.loc[3, "p50"]) and pd.isna(pdf.loc[3, "p90"])
+    vals = sorted(i for i in range(64) if i % 16 == 5)
+    assert pdf.loc[5, "p50"] == vals[max(0, -(-len(vals) * 1 // 2) - 1)]
+
+
 def test_quantile_sketch_rejects_non_finite(ray_session):
     import ray.data as rd
 
