@@ -45,10 +45,9 @@ def yuv422_to_ycbcr(data: bytes | np.ndarray, w: int, h: int) -> np.ndarray:
     return out.reshape((h, w, 3))
 
 
-def ycbcr_to_rgb(ycbcr: np.ndarray) -> np.ndarray:
-    """(h, w, 3) uint8 YCbCr -> (h, w, 3) uint8 RGB, full-range JPEG matrix.
-
-    In-place float32 pipeline (round + clip reuse the same buffer)."""
+def _ycbcr_to_rgb_float(ycbcr: np.ndarray) -> np.ndarray:
+    """Float32 reference pipeline (the LUT tables below are built FROM it
+    and pinned bit-identical by tests/test_codecs.py; kept as the oracle)."""
     arr = ycbcr.astype(np.float32)
     y = arr[..., 0]
     cb = arr[..., 1]
@@ -66,6 +65,51 @@ def ycbcr_to_rgb(ycbcr: np.ndarray) -> np.ndarray:
     np.round(rgb, out=rgb)
     np.clip(rgb, 0, 255, out=rgb)
     return rgb.astype(np.uint8)
+
+
+def _build_luts():
+    """R/B as exhaustive 2D uint8 tables (one 64 KB gather per pixel, zero
+    float work — identical BY CONSTRUCTION: every (y, chroma) combo is
+    computed with the float32 reference ops); G as a 256 KB float32
+    (cb, cr) table whose ``+ y -> round -> clip`` tail replays the
+    reference's exact op order (proven identical over all 16.7M combos,
+    round-4 verdict #7). Decode is the engine's memory-bandwidth ceiling:
+    under 24-way contention the LUT path measures ~1.27x the float path
+    (3,988 vs 3,146 imgs/s aggregate, 480x640) — see CLAUDE.md."""
+    yv, cv = np.meshgrid(np.arange(256, dtype=np.uint8),
+                         np.arange(256, dtype=np.uint8), indexing="ij")
+    yf = yv.astype(np.float32)
+
+    def table(coef: float) -> np.ndarray:
+        a = np.multiply(cv.astype(np.float32) - 128.0, np.float32(coef))
+        return np.clip(np.round(a + yf), 0, 255).astype(np.uint8).reshape(-1)
+
+    cbf, crf = np.meshgrid(np.arange(256, dtype=np.float32) - 128.0,
+                           np.arange(256, dtype=np.float32) - 128.0,
+                           indexing="ij")
+    gf = (cbf * np.float32(_G_CB) + np.float32(_G_CR) * crf).reshape(-1)
+    return table(_R_CR), table(_B_CB), gf
+
+
+_R_TAB, _B_TAB, _G_TAB = _build_luts()
+
+
+def ycbcr_to_rgb(ycbcr: np.ndarray) -> np.ndarray:
+    """(h, w, 3) uint8 YCbCr -> (h, w, 3) uint8 RGB, full-range JPEG matrix
+    (LUT pipeline, bit-identical to :func:`_ycbcr_to_rgb_float`)."""
+    y = ycbcr[..., 0]
+    cb = ycbcr[..., 1]
+    cr = ycbcr[..., 2]
+    out = np.empty_like(ycbcr)
+    yi = y.astype(np.int32) << 8
+    out[..., 0] = _R_TAB[yi + cr]
+    out[..., 2] = _B_TAB[yi + cb]
+    g = _G_TAB[(cb.astype(np.int32) << 8) + cr]
+    g += y.astype(np.float32)
+    np.round(g, out=g)
+    np.clip(g, 0, 255, out=g)
+    out[..., 1] = g.astype(np.uint8)
+    return out
 
 
 def rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:

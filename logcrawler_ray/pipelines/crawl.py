@@ -372,16 +372,27 @@ class CrawlEngine:
         self.ckpt = CheckpointDir(ckpt_root)
         self.state: CrawlState | None = None
 
-    def fetch_log(self) -> list[tuple]:
-        """(wave, seq, url, fetch_time) across all waves in crawl order —
-        read back from the per-wave store partitions (the scale-safe home
-        of the log; driver memory and checkpoints stay O(shards))."""
-        out: list[tuple] = []
+    def fetch_log_dataset(self):
+        """The audit log as a LAZY Ray Dataset over the per-wave store
+        partitions — the scale surface (nothing materializes driver-side;
+        consume with write_parquet/iter_batches/aggregates)."""
+        return self.log_store.read_dataset()
+
+    def iter_fetch_log(self):
+        """Streaming (wave, seq, url, fetch_time) iterator in crawl order —
+        driver memory bounded by ONE wave partition at a time."""
         for pid in self.log_store.partitions():
             t = self.log_store.read_table(pid)
-            out.extend(zip(t["wave"].to_pylist(), t["seq"].to_pylist(),
-                           t["url"].to_pylist(), t["fetch_time"].to_pylist()))
-        return out
+            yield from zip(t["wave"].to_pylist(), t["seq"].to_pylist(),
+                           t["url"].to_pylist(), t["fetch_time"].to_pylist())
+
+    def fetch_log(self) -> list[tuple]:
+        """(wave, seq, url, fetch_time) across all waves in crawl order.
+
+        TEST/AUDIT-ONLY convenience: materializes the whole log on the
+        driver. At scale use :meth:`fetch_log_dataset` (lazy Dataset) or
+        :meth:`iter_fetch_log` (bounded streaming) — round-4 verdict #6."""
+        return list(self.iter_fetch_log())
 
     # -- lifecycle --------------------------------------------------------
     def start(self, seeds: list[dict]) -> None:

@@ -182,3 +182,16 @@ def test_registry_extension_hook():
                       lambda b, w, h: np.frombuffer(b, np.uint8).reshape(h, w, 3))
     img = smooth_image()
     assert (registry.decode("identity", registry.encode("identity", img), 64, 48) == img).all()
+
+
+def test_ycbcr_lut_decode_matches_float_reference_exhaustively():
+    """The LUT decode (round-5 bandwidth fix) must be bit-identical to the
+    float32 reference over EVERY (y, cb, cr) combination."""
+    import numpy as np
+
+    from logcrawler_ray.codecs.yuv422 import _ycbcr_to_rgb_float, ycbcr_to_rgb
+
+    allc = np.stack(np.meshgrid(np.arange(256), np.arange(256),
+                                np.arange(256), indexing="ij"),
+                    axis=-1).astype(np.uint8).reshape(4096, 4096, 3)
+    assert np.array_equal(ycbcr_to_rgb(allc), _ycbcr_to_rgb_float(allc))

@@ -409,3 +409,20 @@ def test_fresh_start_drops_stale_views_over_waves(ray_session, serial_run,
     assert "stale-dedup" not in eng2.store.partitions()
     # the fresh wave is fully visible again
     assert eng2.store.rows() == eng2.store.read_table().num_rows == len(ids)
+
+
+def test_fetch_log_bounded_forms_agree(ray_session, tmp_path):
+    """fetch_log_dataset (lazy) and iter_fetch_log (streaming) carry the
+    same rows as the test-only list form (round-4 verdict #6)."""
+    from logcrawler_ray.pipelines.crawl import CrawlConfig, CrawlEngine
+
+    cfg = CrawlConfig(max_waves=2, wave_size=32, n_hosts=4, pages_per_host=20)
+    eng = CrawlEngine(cfg, str(tmp_path / "s"), str(tmp_path / "c"))
+    eng.start(cfg.web().seed_urls(6))
+    eng.run()
+    full = eng.fetch_log()
+    assert full and list(eng.iter_fetch_log()) == full
+    ds = eng.fetch_log_dataset()
+    rows = sorted((r["wave"], r["seq"], r["url"], r["fetch_time"])
+                  for r in ds.iter_rows())
+    assert rows == sorted(full)
