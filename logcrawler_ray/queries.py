@@ -694,16 +694,18 @@ def q21_minhash_simhash_dups(sf_dir: str):
     Jaccard verification and simhash codes in SQL
     (functions/sqloracle.py) — the sketches themselves are hash-gated,
     not just the pair counts."""
-    from .stages.dedup_text import (minhash_lsh_candidates,
-                                    simhash_near_dup_pairs,
-                                    verify_jaccard_pairs)
+    from .stages.dedup_text import fused_sketch_neardup
 
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    cands = minhash_lsh_candidates(ds, k=64, bands=16, hasher="md5sql")
-    mh = verify_jaccard_pairs(ds, cands, threshold=0.2, hasher="md5sql")
+    # repartition: the documents table is ONE parquet file -> one read
+    # block -> a serial sketch pass; 32 blocks parallelize the explode
+    # (the text payload is tiny, the shuffle is noise)
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).repartition(32)
+    # ONE corpus pass feeds both sketch paths AND the Jaccard verify
+    # (round-4 verdict #8 fusion — was ~6 executions re-reading the corpus)
+    mh, sh = fused_sketch_neardup(ds, k=64, bands=16, jaccard_threshold=0.2,
+                                  max_hamming=3, hasher="md5sql")
     mh = pd.DataFrame({"method": "minhash_lsh", "a": mh["a"], "b": mh["b"],
                        "score": mh["jaccard"].round(4)})
-    sh = simhash_near_dup_pairs(ds, max_hamming=3, hasher="md5sql")
     sh = pd.DataFrame({"method": "simhash", "a": sh["a"], "b": sh["b"],
                        "score": sh["hamming"].astype(float)})
     out = pd.concat([mh, sh], ignore_index=True)

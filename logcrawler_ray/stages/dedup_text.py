@@ -69,20 +69,26 @@ def _hash_distinct(strings: list[str], hasher: str, seed: int) -> np.ndarray:
 
 
 def minhash_batch(texts: list[str], k: int = 64, ngram: int = 3,
-                  seed: int = 1234, hasher: str = "blake2b") -> np.ndarray:
+                  seed: int = 1234, hasher: str = "blake2b",
+                  return_shingles: bool = False):
     """List of docs -> (N, k) uint64 signatures.
 
     Batch-vectorized (round-3 verdict, minor #5): per-doc distinct
     shingles are flattened into ONE hash pass (digest once per distinct
     shingle per batch) and ONE (k, total) affine-permutation matrix with
     a per-doc ``minimum.reduceat`` — bit-identical to the per-doc
-    :func:`minhash_signature` path (equality-tested)."""
+    :func:`minhash_signature` path (equality-tested).
+
+    ``return_shingles=True`` also returns the per-doc distinct shingle
+    hash arrays (== :func:`..functions.text.shingle_hashes` as SETS) — the
+    fused q21 path reuses the hashes this pass already computed instead of
+    digesting the corpus a second time for the Jaccard verify."""
     from ..functions.text import word_ngrams
 
     n = len(texts)
     out = np.full((n, k), np.iinfo(np.uint64).max, dtype=np.uint64)
     if n == 0:
-        return out
+        return (out, []) if return_shingles else out
     flat: list[str] = []
     seg = np.empty(n + 1, dtype=np.int64)
     seg[0] = 0
@@ -91,6 +97,8 @@ def minhash_batch(texts: list[str], k: int = 64, ngram: int = 3,
         flat.extend(grams)
         seg[i + 1] = len(flat)
     if not flat:
+        if return_shingles:
+            return out, [np.empty(0, dtype=np.uint64)] * n
         return out
     hashes = _hash_distinct(flat, hasher, seed=0)
     a, b = _perm_params(k, seed)
@@ -99,6 +107,8 @@ def minhash_batch(texts: list[str], k: int = 64, ngram: int = 3,
     nonempty = np.flatnonzero(np.diff(seg) > 0)
     mins = np.minimum.reduceat(vals, seg[nonempty], axis=1)  # (k, n_nonempty)
     out[nonempty] = mins.T
+    if return_shingles:
+        return out, [hashes[seg[i]:seg[i + 1]] for i in range(n)]
     return out
 
 
@@ -208,7 +218,7 @@ def verify_jaccard_pairs(ds, pairs_ds, text_col: str = "text",
                          id_col: str = "doc_id", ngram: int = 3,
                          threshold: float = 0.8,
                          max_broadcast_docs: int = 200_000,
-                         hasher: str = "blake2b"):
+                         hasher: str = "blake2b", shingle_ds=None):
     """Re-check candidate pairs with exact shingle Jaccard — DISTRIBUTED.
 
     Only the candidate (a, b) id pairs ever sit on the driver (already
@@ -241,22 +251,35 @@ def verify_jaccard_pairs(ds, pairs_ds, text_col: str = "text",
                                        pairs["b"].to_numpy()]))
     needed_ref = ray.put(pa.array(needed))
 
-    def collect(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+    if shingle_ds is None:
+        def collect(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
 
-        sel = batch.filter(pc.is_in(batch[id_col], value_set=ray.get(needed_ref)))
-        return pa.table(
-            {
-                id_col: sel[id_col],
-                "shingles": pa.array(
-                    [shingle_hashes(t, ngram, hasher).tolist()
-                     for t in sel[text_col].to_pylist()],
-                    type=pa.list_(pa.uint64()),
-                ),
-            }
-        )
+            sel = batch.filter(
+                pc.is_in(batch[id_col], value_set=ray.get(needed_ref)))
+            return pa.table(
+                {
+                    id_col: sel[id_col],
+                    "shingles": pa.array(
+                        [shingle_hashes(t, ngram, hasher).tolist()
+                         for t in sel[text_col].to_pylist()],
+                        type=pa.list_(pa.uint64()),
+                    ),
+                }
+            )
 
-    shingle_ds = ds.map_batches(collect, batch_format="pyarrow")
+        shingle_ds = ds.map_batches(collect, batch_format="pyarrow")
+    else:
+        # pre-sketched (id, shingles) rows from the fused pass — just the
+        # skinny needed-doc filter, no corpus re-read / re-digest
+        def pick(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            sel = batch.filter(
+                pc.is_in(batch[id_col], value_set=ray.get(needed_ref)))
+            return sel.select([id_col, "shingles"])
+
+        shingle_ds = shingle_ds.map_batches(pick, batch_format="pyarrow")
 
     if len(needed) <= max_broadcast_docs:
         # Arrow-native broadcast (round-2 advice): the shingle sets ship as
@@ -350,6 +373,140 @@ def verify_jaccard_pairs(ds, pairs_ds, text_col: str = "text",
     out["__pair"] = np.arange(len(out), dtype=np.int64)
     out = out.merge(jdf, left_on="__pair", right_on="pair")[["a", "b", "jaccard"]]
     return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def fused_sketch_neardup(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                         k: int = 64, bands: int = 16, ngram: int = 3,
+                         jaccard_threshold: float = 0.2, max_hamming: int = 3,
+                         sim_seed: int = 99,
+                         max_bucket: int = DEFAULT_MAX_BUCKET,
+                         hasher: str = "blake2b",
+                         local_docs_max: int = 200_000):
+    """BOTH sketch near-dup paths from ONE corpus pass (round-4 verdict #8).
+
+    The unfused q21 chain ran ~6 Ray executions, each re-reading and
+    re-digesting the corpus (minhash candidates, shingle collection for the
+    Jaccard verify, simhash codes). Here ONE map_batches computes minhash
+    band rows, simhash codes AND the per-doc distinct shingle hash sets
+    (the hashes the signature pass already produced), materialized as one
+    skinny row table; everything downstream branches from it without
+    touching the corpus again. Bit-identical to minhash_lsh_candidates ->
+    verify_jaccard_pairs and simhash_near_dup_pairs (equality-tested).
+
+    Two tiers for the pair plumbing (same pattern as verify's broadcast
+    gate): corpora up to ``local_docs_max`` docs collect the skinny
+    band/code rows ONCE and run the bucket/pigeonhole logic in-process
+    (hamming_pairs_local — the shuffles cost more fixed time than the
+    whole computation at this size); larger corpora keep the distributed
+    groupby + distinct_pairs + hamming_pairs_ds path unchanged.
+
+    Returns ``(minhash_df (a, b, jaccard), simhash_df (a, b, hamming))``.
+    """
+    import functools
+
+    import ray
+
+    from ..functions.hashing import to_int64
+    from ..functions.text import words
+    from .hamming import (distinct_pairs, hamming_near_dup_pairs,
+                          hamming_pairs_local)
+
+    _SHL = pa.list_(pa.uint64())
+
+    def explode(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        sigs, sh_lists = minhash_batch(texts, k=k, ngram=ngram, hasher=hasher,
+                                       return_shingles=True)
+        keep = sigs[:, 0] != np.iinfo(np.uint64).max
+        bt = lsh_band_rows(ids[keep], sigs[keep], bands)
+        codes = simhash_batch(texts, seed=sim_seed, hasher=hasher)
+        tkeep = np.array([bool(words(t)) for t in texts], dtype=bool)
+        n0, n1, n2 = bt.num_rows, int(tkeep.sum()), len(ids)
+        t_band = pa.table({
+            "kind": pa.array(np.zeros(n0, dtype=np.int8)),
+            "band": bt["band"],
+            "bucket": bt["bucket"],
+            "doc_id": bt["doc_id"],
+            "shingles": pa.nulls(n0, _SHL),
+        })
+        t_code = pa.table({
+            "kind": pa.array(np.ones(n1, dtype=np.int8)),
+            "band": pa.array(np.full(n1, -1, dtype=np.int32)),
+            "bucket": pa.array(to_int64(codes[tkeep])),
+            "doc_id": pa.array(ids[tkeep]),
+            "shingles": pa.nulls(n1, _SHL),
+        })
+        t_sh = pa.table({
+            "kind": pa.array(np.full(n2, 2, dtype=np.int8)),
+            "band": pa.array(np.full(n2, -1, dtype=np.int32)),
+            "bucket": pa.array(np.zeros(n2, dtype=np.int64)),
+            "doc_id": pa.array(ids),
+            "shingles": pa.array([s.tolist() for s in sh_lists], _SHL),
+        })
+        return pa.concat_tables([t_band, t_code, t_sh]).combine_chunks()
+
+    rows = ds.map_batches(explode, batch_format="pyarrow").materialize()
+
+    def only(kind: int, cols: list[str]):
+        def f(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return t.filter(pc.equal(t["kind"], kind)).select(cols)
+
+        return f
+
+    shingle_rows = rows.map_batches(only(2, ["doc_id", "shingles"]),
+                                    batch_format="pyarrow")
+    # every doc contributes exactly one kind=2 row, <=bands kind=0 rows and
+    # <=1 kind=1 row, so the materialized row count (metadata, free) bounds
+    # the doc count for the tier gate
+    if rows.count() <= local_docs_max * (bands + 2):
+        # bounded tier: ONE collection of the skinny band+code rows; the
+        # per-band bucket pairing and the pigeonhole run in-process
+        import pyarrow.compute as pc
+        import ray.data as rd
+
+        skinny = pa.concat_tables(ray.get(rows.map_batches(
+            lambda t: t.filter(pc.not_equal(t["kind"], 2))
+                       .select(["kind", "band", "bucket", "doc_id"]),
+            batch_format="pyarrow").to_arrow_refs()))
+        bdf = (skinny.filter(pc.equal(skinny["kind"], 0))
+               .select(["band", "bucket", "doc_id"]).to_pandas())
+        cand_parts = [band_candidate_pairs(g, max_bucket=max_bucket)
+                      .to_pandas()
+                      for _, g in bdf.groupby("band", sort=False)]
+        cands = (pd.concat(cand_parts, ignore_index=True)
+                 .drop_duplicates(["a", "b"]) if cand_parts
+                 else pd.DataFrame({"a": pd.Series(dtype=np.int64),
+                                    "b": pd.Series(dtype=np.int64)}))
+        mh = verify_jaccard_pairs(None, rd.from_pandas(
+            cands.reset_index(drop=True)), id_col=id_col, ngram=ngram,
+            threshold=jaccard_threshold, hasher=hasher,
+            shingle_ds=shingle_rows)
+        ct = skinny.filter(pc.equal(skinny["kind"], 1))
+        sh, n_dropped = hamming_pairs_local(
+            ct["bucket"].to_numpy(zero_copy_only=False),
+            ct["doc_id"].to_numpy(zero_copy_only=False),
+            max_hamming=max_hamming, nbits=64, max_bucket=max_bucket)
+        sh.attrs["dropped_buckets"] = n_dropped
+        return mh, sh
+
+    band_rows = rows.map_batches(only(0, ["band", "bucket", "doc_id"]),
+                                 batch_format="pyarrow")
+    cands = distinct_pairs(band_rows.groupby("band").map_groups(
+        functools.partial(band_candidate_pairs, max_bucket=max_bucket),
+        batch_format="pandas"))
+    mh = verify_jaccard_pairs(None, cands, id_col=id_col, ngram=ngram,
+                              threshold=jaccard_threshold, hasher=hasher,
+                              shingle_ds=shingle_rows)
+
+    code_rows = rows.map_batches(only(1, ["bucket", "doc_id"]),
+                                 batch_format="pyarrow")
+    sh = hamming_near_dup_pairs(code_rows, code_col="bucket", id_col="doc_id",
+                                max_hamming=max_hamming, nbits=64,
+                                max_bucket=max_bucket)
+    return mh, sh
 
 
 # --------------------------------------------------------------- SimHash

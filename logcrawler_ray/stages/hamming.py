@@ -211,6 +211,69 @@ def hamming_pairs_ds(ds, code_col: str = "code", id_col: str = "doc_id",
     return pairs, int(n_dropped or 0)
 
 
+def hamming_pairs_local(codes, ids, *, max_hamming: int = 3, nbits: int = 64,
+                        n_chunks: int | None = None,
+                        max_bucket: int = DEFAULT_MAX_BUCKET):
+    """In-process tier of :func:`hamming_pairs_ds` for BOUNDED code sets
+    (the fused q21 gate: one code per doc, already on the driver) — the
+    identical pigeonhole chunks, bucket caps, marker accounting and
+    distinct-pair rule, minus ~3 Ray executions of fixed cost. Equality
+    with the Dataset path is pytest-pinned. Returns
+    ``(DataFrame(a, b, hamming) sorted, n_dropped_buckets)``."""
+    import pandas as pd
+
+    if n_chunks is None:
+        n_chunks = max(4, min(16, max_hamming + 1))
+    if not max_hamming < n_chunks:
+        raise ValueError(f"recall not exact: max_hamming={max_hamming} "
+                         f">= n_chunks={n_chunks}")
+    if n_chunks > nbits:
+        raise ValueError(f"n_chunks={n_chunks} > nbits={nbits}")
+    codes = to_uint64(np.asarray(codes))
+    ids = np.asarray(ids, dtype=np.int64)
+    if (ids < 0).any():
+        raise ValueError("hamming_pairs_local: negative ids")
+    bits_mask = np.uint64((1 << nbits) - 1) if nbits < 64 \
+        else np.uint64(~np.uint64(0))
+    codes = codes & bits_mask
+    widths = np.full(n_chunks, nbits // n_chunks, dtype=np.int64)
+    widths[: nbits % n_chunks] += 1
+    offsets = np.concatenate([[0], np.cumsum(widths)[:-1]])
+    out_a, out_b, out_d = [], [], []
+    n_dropped = 0
+    for c in range(n_chunks):
+        mask = np.uint64((1 << int(widths[c])) - 1)
+        vals = (codes >> np.uint64(int(offsets[c]))) & mask
+        order = np.lexsort((ids, vals))
+        sv, si, sc = vals[order], ids[order], codes[order]
+        starts = np.concatenate(
+            [[0], np.nonzero(np.diff(sv.view(np.int64)))[0] + 1, [len(sv)]])
+        for s, e in zip(starts[:-1], starts[1:]):
+            n = e - s
+            if n < 2:
+                continue
+            if n > max_bucket:
+                n_dropped += 1
+                continue
+            ai, bi = np.triu_indices(n, k=1)
+            d = hamming_batch(sc[s:e][ai], sc[s:e][bi]).astype(np.int64)
+            keep = d <= max_hamming
+            out_a.append(si[s:e][ai][keep])
+            out_b.append(si[s:e][bi][keep])
+            out_d.append(d[keep])
+    if not out_a:
+        return (pd.DataFrame({"a": pd.Series(dtype=np.int64),
+                              "b": pd.Series(dtype=np.int64),
+                              "hamming": pd.Series(dtype=np.int64)}),
+                n_dropped)
+    df = pd.DataFrame({"a": np.concatenate(out_a),
+                       "b": np.concatenate(out_b),
+                       "hamming": np.concatenate(out_d)})
+    df = (df.drop_duplicates(["a", "b"])
+          .sort_values(["a", "b"]).reset_index(drop=True))
+    return df, n_dropped
+
+
 def band_pairs_ds(ds, band_fn, id_col: str = "doc_id",
                   max_bucket: int = DEFAULT_MAX_BUCKET):
     """Banded-LSH candidate pairs as a Dataset — for code families whose

@@ -549,3 +549,72 @@ def test_ngram_jaccard_df_cap_raises_or_reports(ray_session):
     # capped run undercounts: the hot shingle's pairs are absent
     full = ngram_jaccard_pairs(rd.from_pandas(df), threshold=0.01)
     assert len(got) < len(full)
+
+
+def test_fused_sketch_neardup_matches_unfused(ray_session):
+    """The fused one-pass q21 path (round-5) must be bit-identical to the
+    unfused minhash_lsh_candidates -> verify_jaccard_pairs and
+    simhash_near_dup_pairs chains, in BOTH tiers (in-process pair plumbing
+    and the distributed groupby path)."""
+    import ray.data as rd
+
+    from logcrawler_ray.stages.dedup_text import (fused_sketch_neardup,
+                                                  minhash_lsh_candidates,
+                                                  simhash_near_dup_pairs,
+                                                  verify_jaccard_pairs)
+
+    rng = np.random.default_rng(11)
+    base = ["the quick brown fox jumps over the lazy dog again and again",
+            "pack my box with five dozen liquor jugs said the jumpy wizard",
+            "sphinx of black quartz judge my vow before the night falls"]
+    docs = []
+    for i in range(120):
+        words_ = base[i % 3].split()
+        if i % 4 == 0:  # planted near-dup: one word swapped
+            words_ = list(words_)
+            words_[int(rng.integers(0, len(words_)))] = f"tok{i}"
+        docs.append({"doc_id": i, "text": " ".join(words_)})
+    docs.append({"doc_id": 500, "text": ""})       # empty doc
+    docs.append({"doc_id": 501, "text": "   "})    # token-less doc
+    ds = rd.from_items(docs)
+
+    cands = minhash_lsh_candidates(ds, k=64, bands=16)
+    mh_ref = verify_jaccard_pairs(ds, cands, threshold=0.2)
+    sh_ref = simhash_near_dup_pairs(ds, max_hamming=3)
+
+    for local_max in (200_000, 0):  # in-process tier / distributed tier
+        mh, sh = fused_sketch_neardup(ds, k=64, bands=16,
+                                      jaccard_threshold=0.2, max_hamming=3,
+                                      local_docs_max=local_max)
+        pd.testing.assert_frame_equal(
+            mh.reset_index(drop=True), mh_ref.reset_index(drop=True))
+        pd.testing.assert_frame_equal(
+            sh[["a", "b", "hamming"]].reset_index(drop=True),
+            sh_ref[["a", "b", "hamming"]].reset_index(drop=True))
+
+
+def test_hamming_pairs_local_matches_dataset_path(ray_session):
+    """hamming_pairs_local (in-process tier) == hamming_near_dup_pairs
+    (Dataset path): same pairs, same hamming, same dropped-bucket count —
+    including an oversize bucket."""
+    import ray.data as rd
+
+    import pyarrow as pa
+
+    from logcrawler_ray.stages.hamming import (hamming_near_dup_pairs,
+                                               hamming_pairs_local)
+
+    rng = np.random.default_rng(3)
+    codes = rng.integers(0, 2**63, size=400, dtype=np.int64)
+    codes[:37] = 0x1234                    # oversize bucket at cap 16
+    codes[40:44] = codes[44:48] = 0x9876   # a clean pairing bucket
+    ids = np.arange(400, dtype=np.int64)
+    ds = rd.from_arrow(pa.table({"code": codes, "doc_id": ids}))
+    ref = hamming_near_dup_pairs(ds, code_col="code", id_col="doc_id",
+                                 max_hamming=3, nbits=64, max_bucket=16)
+    got, dropped = hamming_pairs_local(codes, ids, max_hamming=3, nbits=64,
+                                       max_bucket=16)
+    assert dropped == ref.attrs["dropped_buckets"]
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True),
+        ref[["a", "b", "hamming"]].reset_index(drop=True))
