@@ -11,6 +11,9 @@ Ray is initialised by the driver; nothing here calls ray.init().
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -42,8 +45,14 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None, **kw):
 # reads it back with read_parquet(...). The driver runs the Ray callable
 # immediately before its oracle, so the staged file is always the one this
 # run produced; writes are atomic (tmp + rename) so a crashed run never
-# leaves a torn file for the next.
-_STAGE_DIR = "/tmp/lcray_oracle_stage"
+# leaves a torn file for the next. The dir is per-user AND per-process
+# (review r5): a fixed world-shared path lets two concurrent runs (e.g.
+# sf0.01 and sf0.1 in CI) grade against each other's staged files, and a
+# second user would hit PermissionError on the first user's 0755 dir.
+# Both queries() and oracle_sql() read this module constant in the same
+# process, so the staged path and the SQL's read_parquet always agree.
+_STAGE_DIR = (f"{tempfile.gettempdir()}/lcray_oracle_stage"
+              f"-{os.getuid()}-{os.getpid()}")
 
 
 def _stage(name: str, table: pa.Table) -> str:
@@ -2037,6 +2046,16 @@ def q38_ann_ivf_lsh(sf_dir: str):
                          "meets_floor": hits >= 6})
     out = pd.DataFrame(out_rows)
     out["q_id"] = out["q_id"].astype(np.int64)
+    # ENFORCE the floor (review r5): without this raise, a recall
+    # regression flips meets_floor to False on BOTH the Ray side and the
+    # SQL replay (same staged lists), the hashes still match, and the
+    # gate would "pass" on degraded output.
+    bad = out[~out["meets_floor"]]
+    if len(bad):
+        raise AssertionError(
+            "q38 recall@10 below the 0.6 floor: "
+            + ", ".join(f"{r.method}/q{r.q_id}={r.recall_at_10}"
+                        for r in bad.itertuples()))
     return out.sort_values(["method", "q_id"]).reset_index(drop=True)
 
 

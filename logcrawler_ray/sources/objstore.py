@@ -331,15 +331,16 @@ class ObjectStore(SnapshotStoreMixin):
     def _assert_sink_visible(self) -> None:
         # memory:// is PER-PROCESS: Ray workers would write into their own
         # private store, commit_external would list an empty stage and
-        # silently commit 0 rows (ADVICE r4). Real object stores pass.
+        # silently commit 0 rows (ADVICE r4). Unconditional (review r5):
+        # every caller is a pipeline whose sink tasks execute via Ray Data,
+        # which AUTO-INITS Ray lazily — gating on ray.is_initialized() left
+        # the exact silent 0-row commit open for drivers that had not
+        # called ray.init() yet. Real object stores pass.
         if self._proto == "memory":
-            import ray
-
-            if ray.is_initialized():
-                raise RuntimeError(
-                    "memory:// ObjectStore is process-local — Ray task sinks "
-                    "would write to a different store; use local:// or a "
-                    "shared filesystem URL for Ray-executed pipelines")
+            raise RuntimeError(
+                "memory:// ObjectStore is process-local — Ray task sinks "
+                "would write to a different store; use local:// or a "
+                "shared filesystem URL for Ray-executed pipelines")
 
     def commit_external(self, pid: str, tmp_dir: str, meta: dict | None = None) -> int:
         stage = self.fs._strip_protocol(tmp_dir)

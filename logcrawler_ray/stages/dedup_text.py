@@ -458,10 +458,16 @@ def fused_sketch_neardup(ds, *, text_col: str = "text", id_col: str = "doc_id",
 
     shingle_rows = rows.map_batches(only(2, ["doc_id", "shingles"]),
                                     batch_format="pyarrow")
-    # every doc contributes exactly one kind=2 row, <=bands kind=0 rows and
-    # <=1 kind=1 row, so the materialized row count (metadata, free) bounds
-    # the doc count for the tier gate
-    if rows.count() <= local_docs_max * (bands + 2):
+    # Tier gate on the EXACT doc count — every doc contributes exactly one
+    # kind=2 row. Gating on the total exploded row count (metadata, free)
+    # only bounds docs from BELOW: a corpus of short/empty docs emits ~1
+    # row per doc, so 3M such docs would slip under local_docs_max*(bands
+    # + 2) and the "bounded" tier would collect them all on the driver
+    # (review r5). The kind-filtered count is one cheap parallel scan over
+    # the already-materialized blocks.
+    n_docs = rows.map_batches(only(2, ["doc_id"]),
+                              batch_format="pyarrow").count()
+    if n_docs <= local_docs_max:
         # bounded tier: ONE collection of the skinny band+code rows; the
         # per-band bucket pairing and the pigeonhole run in-process
         import pyarrow.compute as pc

@@ -90,6 +90,27 @@ def distinct_pairs(pairs_ds, carry: str | None = None, num_buckets: int = 64,
             .groupby("__pb").map_groups(merge, batch_format="pandas"))
 
 
+def _chunk_geometry(max_hamming: int, nbits: int, n_chunks: int | None):
+    """Validated pigeonhole chunking shared by the Dataset and in-process
+    tiers (their pytest-pinned equality requires identical geometry).
+    Chunk widths differ by at most 1 and COVER all nbits — a bit outside
+    every chunk would let differences hide from the pigeonhole argument.
+    Returns ``(n_chunks, widths, offsets, bits_mask)``."""
+    if n_chunks is None:
+        n_chunks = max(4, min(16, max_hamming + 1))
+    if not max_hamming < n_chunks:
+        raise ValueError(f"recall not exact: max_hamming={max_hamming} "
+                         f">= n_chunks={n_chunks}")
+    if n_chunks > nbits:
+        raise ValueError(f"n_chunks={n_chunks} > nbits={nbits}")
+    widths = np.full(n_chunks, nbits // n_chunks, dtype=np.int64)
+    widths[: nbits % n_chunks] += 1
+    offsets = np.concatenate([[0], np.cumsum(widths)[:-1]])
+    bits_mask = np.uint64((1 << nbits) - 1) if nbits < 64 \
+        else np.uint64(~np.uint64(0))
+    return n_chunks, widths, offsets, bits_mask
+
+
 def hamming_pairs_ds(ds, code_col: str = "code", id_col: str = "doc_id",
                      max_hamming: int = 3, nbits: int = 64,
                      n_chunks: int | None = None,
@@ -118,20 +139,9 @@ def hamming_pairs_ds(ds, code_col: str = "code", id_col: str = "doc_id",
     picks ``max_hamming + 1`` chunks, capped at 16 — beyond that bucket
     selectivity collapses and candidate verification dominates.
     """
-    if n_chunks is None:
-        n_chunks = max(4, min(16, max_hamming + 1))
-    if not max_hamming < n_chunks:
-        raise ValueError(f"recall not exact: max_hamming={max_hamming} "
-                         f">= n_chunks={n_chunks}")
-    if n_chunks > nbits:
-        raise ValueError(f"n_chunks={n_chunks} > nbits={nbits}")
-    # chunk widths differ by at most 1 and COVER all nbits (a bit outside
-    # every chunk would let differences hide from the pigeonhole argument)
-    widths = np.full(n_chunks, nbits // n_chunks, dtype=np.int64)
-    widths[: nbits % n_chunks] += 1
-    offsets = np.concatenate([[0], np.cumsum(widths)[:-1]])
+    n_chunks, widths, offsets, bits_mask = _chunk_geometry(
+        max_hamming, nbits, n_chunks)
     masks = [np.uint64((1 << int(w)) - 1) for w in widths]
-    bits_mask = np.uint64((1 << nbits) - 1) if nbits < 64 else np.uint64(~np.uint64(0))
 
     def explode(batch: pa.Table) -> pa.Table:
         keep = None
@@ -222,23 +232,13 @@ def hamming_pairs_local(codes, ids, *, max_hamming: int = 3, nbits: int = 64,
     ``(DataFrame(a, b, hamming) sorted, n_dropped_buckets)``."""
     import pandas as pd
 
-    if n_chunks is None:
-        n_chunks = max(4, min(16, max_hamming + 1))
-    if not max_hamming < n_chunks:
-        raise ValueError(f"recall not exact: max_hamming={max_hamming} "
-                         f">= n_chunks={n_chunks}")
-    if n_chunks > nbits:
-        raise ValueError(f"n_chunks={n_chunks} > nbits={nbits}")
+    n_chunks, widths, offsets, bits_mask = _chunk_geometry(
+        max_hamming, nbits, n_chunks)
     codes = to_uint64(np.asarray(codes))
     ids = np.asarray(ids, dtype=np.int64)
     if (ids < 0).any():
         raise ValueError("hamming_pairs_local: negative ids")
-    bits_mask = np.uint64((1 << nbits) - 1) if nbits < 64 \
-        else np.uint64(~np.uint64(0))
     codes = codes & bits_mask
-    widths = np.full(n_chunks, nbits // n_chunks, dtype=np.int64)
-    widths[: nbits % n_chunks] += 1
-    offsets = np.concatenate([[0], np.cumsum(widths)[:-1]])
     out_a, out_b, out_d = [], [], []
     n_dropped = 0
     for c in range(n_chunks):

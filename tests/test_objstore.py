@@ -509,9 +509,12 @@ def test_storage_options_thread_to_task_side_writes(ray_session, tmp_path):
     assert st.rows("p") == n
 
 
-def test_memory_store_sink_guard_under_ray(ray_session):
+def test_memory_store_sink_guard():
     """memory:// is per-process: worker-written sinks would silently
-    commit 0 rows — the pipelines' _assert_sink_visible must refuse."""
+    commit 0 rows — the pipelines' _assert_sink_visible must refuse
+    UNCONDITIONALLY (not only when Ray is already up): Ray Data auto-inits
+    lazily at execution, so the guard cannot rely on ray.is_initialized()
+    at pipeline-entry time (review r5)."""
     st = _st()
     with pytest.raises(RuntimeError, match="process-local"):
         st._assert_sink_visible()
