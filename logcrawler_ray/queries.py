@@ -1956,22 +1956,47 @@ def q61_rolling_event_value(sf_dir: str):
     )
 
 
-@_q("q30_crawl")
+@_q(
+    "q30_crawl",
+    f"""
+    SELECT wave, seq, url, fetch_time
+    FROM read_parquet('{_STAGE_DIR}/q30_expected.parquet')
+    """,
+)
 def q30_crawl(sf_dir: str):
     """The full crawl engine, deterministically: frontier + politeness +
     bloom/cuckoo seen + fetch/decode + per-wave store commits, on the
     synthetic web. Output = the crawl's fetch log (wave, seq, url,
-    fetch_time) — a pure function of the seed, so the rows-only check
-    pins ordering, politeness and seen-filter behavior. Rows-only."""
+    fetch_time) — a pure function of the seed.
+
+    Differential oracle (review r5 — the last rows-only entry): the
+    SERIAL reference executor (pipelines/reference_crawler.py — the
+    in-process twin the pytest equivalence suite pins the engine
+    against) runs the identical config + seeds and its fetch_order() is
+    staged as parquet; the SQL reads it back, so the driver's hash gate
+    now compares the BSP Ray engine's wave orchestration, shard routing,
+    politeness and seen-filtering against an independent serial
+    implementation. Each row carries its (wave, seq) position, so the
+    sorted-row hash still pins the complete total order."""
     import shutil
     import tempfile
 
     import pandas as pd
 
     from .pipelines.crawl import CrawlConfig, CrawlEngine
+    from .pipelines.reference_crawler import SerialCrawler
 
     cfg = CrawlConfig(seed=42, n_hosts=6, pages_per_host=40, n_shards=4,
                       wave_size=48, max_depth=3, max_waves=3, batch_size=32)
+    sc = SerialCrawler(CrawlConfig(seed=42, n_hosts=6, pages_per_host=40,
+                                   n_shards=4, wave_size=48, max_depth=3,
+                                   max_waves=3, batch_size=32))
+    sc.run(sc.cfg.web().seed_urls(12))
+    expected = pd.DataFrame(sc.fetch_order(),
+                            columns=["wave", "seq", "url", "fetch_time"])
+    _stage("q30_expected", pa.Table.from_pandas(expected,
+                                                preserve_index=False))
+
     root = tempfile.mkdtemp(prefix="q30_crawl_")
     try:
         eng = CrawlEngine(cfg, root + "/store", root + "/ckpt")
