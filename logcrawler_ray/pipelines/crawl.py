@@ -326,8 +326,6 @@ class WaveStage:
     def __call__(self, t: pa.Table) -> pa.Table:
         import os
 
-        import pyarrow.parquet as pq
-
         fetched = self.fetch(t)
         ok = fetched.filter(fetched["fetch_ok"])
         decoded = self.decode(ok)

@@ -94,9 +94,8 @@ class IngestStage:
         self.storage_options = storage_options
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import hashlib
         import os
-
-        import pyarrow.parquet as pq
 
         out = self.decode(batch)
         ok = out.filter(out["decode_ok"])
@@ -104,11 +103,15 @@ class IngestStage:
             hh = ok["host_hash"].to_numpy(zero_copy_only=False).view(np.uint64)
             ok = ok.append_column("bucket", pa.array(
                 (hh % np.uint64(self.n_buckets)).astype(np.int32)))
-            from ..functions.hashing import hash64_str
-
             # deterministic per-batch file name (batches partition the ids,
-            # so min id is unique per batch; retried tasks overwrite)
-            tag = format(int(hash64_str(min(ok["image_id"].to_pylist()))), "016x")
+            # so min id is unique per batch; retried tasks overwrite). A
+            # 128-bit digest, not a 64-bit hash (review r5): at the 10^10
+            # design point one partition holds ~1.5e8 batches, where 64-bit
+            # birthday collisions (~6e-4/run) would silently overwrite one
+            # batch's fragment — undetected row loss under a footer-count
+            # commit. 128 bits puts that at ~1e-21.
+            mid = min(ok["image_id"].to_pylist())
+            tag = hashlib.blake2b(str(mid).encode(), digest_size=16).hexdigest()
             write_fragment(ok, os.path.join(self.tmp_dir, f"part-{tag}.parquet"),
                            compression=self.compression,
                            storage_options=self.storage_options)
@@ -148,8 +151,9 @@ def ingest_sharded(source_files: list[str], store: ImageStore, *,
     import ray.data as rd
 
     shard_ids = []
-    for gi in range(0, len(source_files), files_per_shard):
-        group = sorted(source_files)[gi : gi + files_per_shard]
+    files = sorted(source_files)
+    for gi in range(0, len(files), files_per_shard):
+        group = files[gi : gi + files_per_shard]
         spid = f"{pid}-shard-{gi // files_per_shard:05d}"
         shard_ids.append(spid)
         if store.is_done(spid):
@@ -193,9 +197,24 @@ def ingest_sharded(source_files: list[str], store: ImageStore, *,
 
     skinny = None
     for spid in shard_ids:
+        if store.rows(spid) == 0:
+            # a shard whose rows ALL failed decode commits fileless — its
+            # read_dataset is a zero-column Dataset that would poison the
+            # union's schema (review r5; same hazard SnapshotStoreMixin
+            # guards with carries_schema). Zero rows = zero dup losers.
+            continue
         part = store.read_dataset(spid, columns=["phash", "image_id"]).map_batches(
             tag_shard(spid), batch_format="pyarrow")
         skinny = part if skinny is None else skinny.union(part)
+    if skinny is None:  # degenerate: every shard was fileless
+        total = 0
+        for spid in shard_ids:
+            total += store.commit_delete_view(
+                f"{pid}-view-{spid}", spid, [], key_col="image_id")
+        store.append_meta(pid, {"pipeline": "ingest", "rows_total": total,
+                                "shards": [f"{pid}-view-{s}"
+                                           for s in shard_ids]})
+        return pid
 
     # duplicated keys only, filtered DISTRIBUTED (O(dup keys) in the object
     # store, never the full distinct-key aggregate on the driver); small dup
@@ -240,8 +259,12 @@ def read_sharded(store: ImageStore, pid: str, columns: list[str] | None = None):
     shards = meta.get("shards")
     if shards is None:  # pre-meta-listing stores kept the list as data rows
         shards = store.read_table(pid)["shards"].to_pylist()
-    ds = store.read_dataset(shards[0], columns=columns)
-    for s in shards[1:]:
+    # zero-row shards (views over fileless bases) carry no schema and
+    # would poison the union (review r5) — but keep ONE if all are empty
+    # so the caller still gets a Dataset back
+    nonempty = [s for s in shards if store.rows(s) > 0] or shards[:1]
+    ds = store.read_dataset(nonempty[0], columns=columns)
+    for s in nonempty[1:]:
         ds = ds.union(store.read_dataset(s, columns=columns))
     return ds
 
@@ -322,8 +345,12 @@ def ingest(source_ds, store: ImageStore | None = None, pid: str = "ingest", *,
         # else: fall through to the skinny re-read scale path below
 
     if losers is None:  # resume path: raw committed earlier, recompute skinny
-        skinny = store.read_dataset(raw_pid, columns=["phash", "image_id"])
-        losers = exact_losers(skinny, "phash", "image_id")
+        if store.rows(raw_pid) == 0:  # fileless raw (all rows failed
+            # decode): zero-column read_dataset, and zero dup losers
+            losers = frozenset()
+        else:
+            skinny = store.read_dataset(raw_pid, columns=["phash", "image_id"])
+            losers = exact_losers(skinny, "phash", "image_id")
     # dedup as metadata: commit a delete-vector view over the raw partition —
     # the payload bytes are written exactly once (lakehouse delete vectors;
     # Lance deletions). Readers of `pid` get the filtered stream.

@@ -293,6 +293,7 @@ class ImageStore(SnapshotStoreMixin):
         self.shared_fs = shared_fs
         os.makedirs(self._manifest_dir, exist_ok=True)
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
+        self._recover_aside()  # heal any crash mid-_swap_dir
 
     @property
     def _manifest_dir(self) -> str:
@@ -340,6 +341,54 @@ class ImageStore(SnapshotStoreMixin):
             pass
         shutil.rmtree(self._part_dir(pid), ignore_errors=True)
 
+    def _swap_dir(self, pid: str, tmp_dir: str) -> str | None:
+        """Install ``tmp_dir`` as the partition dir WITHOUT a delete-first
+        window (review r5): the old dir is renamed aside (atomic), the new
+        one renamed in, and the aside copy is removed only AFTER the new
+        manifest is durable. A crash anywhere leaves either the old or the
+        new (dir, manifest) pair recoverable — :meth:`_recover_aside` at
+        store open rolls back or completes by checking which dir the
+        manifest's file list matches. The old rmtree-before-replace order
+        could strand a manifest pointing at deleted files (permanent loss:
+        maintenance writers are never re-run)."""
+        final_dir = self._part_dir(pid)
+        old_dir = None
+        if os.path.exists(final_dir):
+            old_dir = final_dir + f".old.{uuid.uuid4().hex}"
+            os.replace(final_dir, old_dir)
+        os.replace(tmp_dir, final_dir)
+        return old_dir
+
+    def _recover_aside(self) -> None:
+        """Crash recovery for :meth:`_swap_dir`, run at store open: for each
+        aside dir, keep whichever of (final, aside) the committed manifest's
+        file list actually matches and remove the other."""
+        data = os.path.join(self.root, "data")
+        for name in os.listdir(data):
+            if ".old." not in name:
+                continue
+            pid = name.rsplit(".old.", 1)[0]
+            old = os.path.join(data, name)
+            final = self._part_dir(pid)
+            try:
+                m = self.manifest(pid)
+            except FileNotFoundError:
+                shutil.rmtree(old, ignore_errors=True)  # pid was dropped
+                continue
+            v = m.get("view")
+            need = set(v.get("delete_files") or [v["delete_file"]]) if v \
+                else set(m["files"])
+            have = set(os.listdir(final)) if os.path.isdir(final) else None
+            if have is not None and need <= have:
+                # manifest matches the new dir: the commit completed
+                shutil.rmtree(old, ignore_errors=True)
+            else:
+                # crashed mid-swap: the manifest still describes the old
+                # dir — roll the uncommitted new dir back out
+                if have is not None:
+                    shutil.rmtree(final, ignore_errors=True)
+                os.replace(old, final)
+
     def _commit(self, pid: str, tmp_dir: str, rows: int, meta: dict | None,
                 supersedes: list[str] | None = None) -> None:
         # overwriting a partition that shadows others must keep shadowing
@@ -348,9 +397,7 @@ class ImageStore(SnapshotStoreMixin):
         if supersedes is None and os.path.exists(self._manifest_path(pid)):
             supersedes = self._shadow_from(self.manifest(pid))
         final_dir = self._part_dir(pid)
-        if os.path.exists(final_dir):
-            shutil.rmtree(final_dir)
-        os.replace(tmp_dir, final_dir)
+        old_dir = self._swap_dir(pid, tmp_dir)
         files = sorted(os.listdir(final_dir))
         manifest = {"rows": rows, "files": files, "meta": meta or {}}
         if supersedes:
@@ -361,6 +408,8 @@ class ImageStore(SnapshotStoreMixin):
             f.flush()
             os.fsync(f.fileno())
         os.replace(mtmp, self._manifest_path(pid))
+        if old_dir is not None:
+            shutil.rmtree(old_dir, ignore_errors=True)
 
     # -- writers -----------------------------------------------------------
     def append_table(self, pid: str, table: pa.Table, meta: dict | None = None,
@@ -546,10 +595,7 @@ class ImageStore(SnapshotStoreMixin):
                      key_col: str, n_deleted: int, meta: dict | None,
                      delete_files: list[str] | None = None) -> int:
         rows = self.rows(base_pid) - n_deleted
-        final_dir = self._part_dir(pid)
-        if os.path.exists(final_dir):
-            shutil.rmtree(final_dir)
-        os.replace(tmp_dir, final_dir)
+        old_dir = self._swap_dir(pid, tmp_dir)
         view = {"base": base_pid, "key_col": key_col}
         if delete_files is None:
             view["delete_file"] = "deletes.parquet"
@@ -569,6 +615,8 @@ class ImageStore(SnapshotStoreMixin):
             f.flush()
             os.fsync(f.fileno())
         os.replace(mtmp, self._manifest_path(pid))
+        if old_dir is not None:
+            shutil.rmtree(old_dir, ignore_errors=True)
         return rows
 
     def _view_of(self, pid: str) -> dict | None:

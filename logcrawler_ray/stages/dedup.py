@@ -125,7 +125,8 @@ def merge_loser_partials(pdf: pd.DataFrame, key: str) -> frozenset:
     return frozenset(local_losers) | frozenset(extra)
 
 
-def exact_losers(skinny_ds, key: str, order_col: str) -> frozenset:
+def exact_losers(skinny_ds, key: str, order_col: str,
+                 max_collect: int | None = None) -> frozenset | None:
     """Skinny (key, order) dataset -> set of order_col values to DROP.
 
     ONE distributed pass: each block emits its :func:`loser_partials`; the
@@ -135,11 +136,20 @@ def exact_losers(skinny_ds, key: str, order_col: str) -> frozenset:
     Driver memory is O(distinct keys per block summed + duplicates); the
     guard falls back to the distributed two-phase combine + a
     broadcast-probe scan past DEFAULT_MAX_BROADCAST partial rows.
+
+    ``max_collect`` bounds what the driver is allowed to hold: when the
+    DISTRIBUTED loser count (``sum(__n) - count`` over the duplicates-only
+    aggregate — two scalars, nothing collected) exceeds it, returns
+    ``None`` so the caller can take a shuffle path instead. Review r5:
+    dedup_exact used to check the bound only AFTER the full loser set had
+    already been take_all()'d onto the driver, where the guard could no
+    longer prevent anything.
     """
     import functools
 
     import ray
 
+    global _last_driver_rows
     partial = functools.partial(loser_partials, key=key, order_col=order_col)
     partial_df = (skinny_ds.map_batches(partial, batch_format="pyarrow")
                   .limit(DEFAULT_MAX_BROADCAST + 1).to_pandas())
@@ -147,8 +157,15 @@ def exact_losers(skinny_ds, key: str, order_col: str) -> frozenset:
         # scale path: distributed two-phase combine, DUPLICATES-ONLY
         # filtered distributed, then one broadcast-probe scan — the driver
         # collects O(duplicate keys), never the full distinct-key aggregate
-        dups = dup_winners(skinny_ds, key, order_col).to_pandas()
-        global _last_driver_rows
+        dups_ds = dup_winners(skinny_ds, key, order_col)
+        if max_collect is not None:
+            n_dup_keys = dups_ds.count()
+            if n_dup_keys > max_collect:
+                return None  # even the winner broadcast would exceed it
+            n_losers = (dups_ds.sum("__n") or 0) - n_dup_keys
+            if n_losers > max_collect:
+                return None
+        dups = dups_ds.to_pandas()
         _last_driver_rows = len(dups)
         if dups.empty:
             return frozenset()
@@ -167,7 +184,13 @@ def exact_losers(skinny_ds, key: str, order_col: str) -> frozenset:
         rows = skinny_ds.map_batches(find_losers, batch_format="pyarrow").take_all()
         return frozenset(r[order_col] for r in rows)
 
-    return merge_loser_partials(partial_df, key)
+    _last_driver_rows = len(partial_df)  # keep the telemetry hook fresh on
+    # the broadcast path too (review r5: a stale scale-path value here made
+    # driver-collection audits read the wrong pass)
+    losers = merge_loser_partials(partial_df, key)
+    if max_collect is not None and len(losers) > max_collect:
+        return None
+    return losers
 
 
 def dup_winners(skinny_ds, key: str, order_col: str, num_buckets: int = 64):
@@ -184,20 +207,60 @@ def dup_winners(skinny_ds, key: str, order_col: str, num_buckets: int = 64):
     C-level merge per bucket with the duplicates-only filter fused in."""
 
     def batch_partials(t: pa.Table) -> pa.Table:
-        df = t.select([key, order_col]).to_pandas()
-        g = df.groupby(key, as_index=False, sort=False,
-                       dropna=False).agg(
-            __min=(order_col, "min"), __n=(order_col, "size"))
-        g["__n"] = g["__n"].astype(np.int64)
-        out = typed_from_pandas(g)
+        # numpy lexsort grouping (review r5 — this was the one remaining
+        # pandas groupby.agg(min)-per-group over object strings; see the
+        # CLAUDE.md perf lesson and loser_partials above for the measured
+        # ~50x). Null keys are dropped like loser_partials does: they can
+        # never match the downstream index_in probes, and keeping them as
+        # one pandas dropna=False group diverged from the broadcast path.
+        t = t.select([key, order_col])
+        kcol = t[key]
+        if kcol.null_count:
+            t = t.filter(pc.is_valid(kcol))
+        kt = t.schema.field(key).type
+        ot = t.schema.field(order_col).type
+        n = t.num_rows
+        if n == 0:
+            out = pa.table({key: pa.array([], type=kt),
+                            "__min": pa.array([], type=ot),
+                            "__n": pa.array([], type=pa.int64())})
+            return out.append_column("__b", _bucket_of(out[key], num_buckets))
+        k = t[key].to_numpy(zero_copy_only=False)
+        o = t[order_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((o, k))
+        ks, os_ = k[order], o[order]
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = ks[1:] != ks[:-1]
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.append(starts, n)).astype(np.int64)
+        out = pa.table({key: pa.array(ks[starts], type=kt),
+                        "__min": pa.array(os_[starts], type=ot),
+                        "__n": pa.array(counts)})
         return out.append_column("__b", _bucket_of(out[key], num_buckets))
 
     def merge_bucket(df: pd.DataFrame) -> pa.Table:
-        g = df.groupby(key, as_index=False, sort=False, dropna=False).agg(
-            __min=("__min", "min"), __n=("__n", "sum"))
-        g = g[g["__n"].to_numpy() > 1]
-        g["__n"] = g["__n"].astype(np.int64)
-        return typed_from_pandas(g[[key, "__min", "__n"]])
+        # same numpy lexsort grouping as batch_partials (a bucket holds
+        # dup-keys/64 rows — at 1M dup keys the pandas agg here was the
+        # same per-group Python min)
+        if len(df) == 0:
+            return typed_from_pandas(df[[key, "__min", "__n"]])
+        k = df[key].to_numpy()
+        m = df["__min"].to_numpy()
+        c = df["__n"].to_numpy().astype(np.int64)
+        order = np.lexsort((m, k))
+        ks, ms, cs = k[order], m[order], c[order]
+        new = np.empty(len(ks), dtype=bool)
+        new[0] = True
+        new[1:] = ks[1:] != ks[:-1]
+        starts = np.flatnonzero(new)
+        total = np.add.reduceat(cs, starts)
+        keep = total > 1  # duplicates only
+        out = pd.DataFrame({key: ks[starts][keep],
+                            "__min": ms[starts][keep],  # first of the
+                            # (__min, key)-lexsorted run IS the group min
+                            "__n": total[keep].astype(np.int64)})
+        return typed_from_pandas(out)
 
     return (skinny_ds.map_batches(batch_partials, batch_format="pyarrow")
             .groupby("__b")
@@ -361,6 +424,11 @@ def exact_losers_files(skinny_ds, key: str, order_col: str, part_col: str,
                                             batch_format="pyarrow")
 
     def write_part(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:  # empty sort-boundary block (review r5 — the
+            # same guard every other map_groups fn in this repo carries)
+            return pa.table({part_col: pa.array([], g.schema.field(part_col).type),
+                             "path": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
         part = g[part_col][0].as_py()
         arr = pc.unique(g[order_col].combine_chunks())
         arr = arr.take(pc.sort_indices(arr))
@@ -404,8 +472,13 @@ def dedup_exact(ds, key: str = "phash", order_col: str = "image_id",
     """
     import ray
 
-    losers = exact_losers(skinny_ds if skinny_ds is not None else ds, key, order_col)
-    if len(losers) <= max_broadcast:
+    # the loser pass itself enforces max_broadcast DISTRIBUTED (review r5):
+    # it returns None — without ever collecting the losers — when the set
+    # would exceed the bound, and the shuffle fallback below never needed
+    # the set in the first place
+    losers = exact_losers(skinny_ds if skinny_ds is not None else ds, key,
+                          order_col, max_collect=max_broadcast)
+    if losers is not None:
         ref = ray.put(pa.array(sorted(losers)) if losers else frozenset())
         return ds.map_batches(anti_filter_fn(ref, order_col), batch_format="pyarrow")
 

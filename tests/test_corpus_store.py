@@ -102,3 +102,62 @@ def test_store_uncommitted_invisible(tmp_path):
     os.makedirs(str(tmp_path / "s" / "data" / "p0.tmp.dead"))
     assert store.partitions() == []
     assert store.files() == []
+
+
+def test_store_crash_mid_swap_rolls_back(tmp_path):
+    """_swap_dir crash windows (review r5): the old rmtree-before-replace
+    order could strand a manifest pointing at deleted files. With the
+    rename-aside protocol, a crash BETWEEN the two renames leaves the old
+    data aside; reopening the store must restore it."""
+    import os
+    import shutil
+
+    root = str(tmp_path / "s")
+    store = ImageStore(root)
+    t = pa.table({"image_id": ["a", "b"], "v": [1, 2]})
+    store.append_table("p", t)
+    # crash state A: final dir renamed aside, replacement never arrived
+    final = os.path.join(root, "data", "p")
+    os.replace(final, final + ".old.deadbeef")
+    store2 = ImageStore(root)  # reopen heals
+    assert store2.read_table("p").equals(t)
+    assert not os.path.exists(final + ".old.deadbeef")
+
+
+def test_store_completed_swap_drops_aside(tmp_path):
+    """Crash state B: commit completed (manifest matches the new dir) but
+    the aside copy was never removed — reopening sweeps it, keeping the
+    committed data."""
+    import os
+    import shutil
+
+    root = str(tmp_path / "s")
+    store = ImageStore(root)
+    t = pa.table({"image_id": ["a", "b"], "v": [1, 2]})
+    store.append_table("p", t)
+    final = os.path.join(root, "data", "p")
+    # a stale aside copy of some earlier version
+    shutil.copytree(final, final + ".old.cafebabe")
+    with open(os.path.join(final + ".old.cafebabe", "junk.bin"), "wb") as f:
+        f.write(b"old-version-leftover")
+    store2 = ImageStore(root)
+    assert store2.read_table("p").equals(t)
+    assert not os.path.exists(final + ".old.cafebabe")
+
+
+def test_store_crash_mid_swap_view(tmp_path):
+    """Same rollback for view partitions (delete-file dirs)."""
+    import os
+
+    root = str(tmp_path / "s")
+    store = ImageStore(root)
+    store.append_table("base", pa.table({"image_id": ["a", "b", "c"],
+                                         "v": [1, 2, 3]}))
+    store.commit_delete_view("view", "base", ["b"], key_col="image_id")
+    assert store.rows("view") == 2
+    final = os.path.join(root, "data", "view")
+    os.replace(final, final + ".old.0123")
+    store2 = ImageStore(root)
+    assert sorted(store2.read_table("view")["image_id"].to_pylist()) == [
+        "a", "c"]
+    assert not os.path.exists(final + ".old.0123")

@@ -227,6 +227,41 @@ def test_ingest_sharded_file_routed_losers(ray_session, corpus_tab, tmp_path):
     assert not [d for d in os.listdir(sb.root) if d.startswith("losers-")]
 
 
+def test_ingest_sharded_survives_fileless_shard(ray_session, corpus_tab,
+                                                tmp_path):
+    """A shard whose rows ALL fail decode commits a fileless partition;
+    the cross-shard dedup union and read_sharded must skip it instead of
+    letting its zero-column read_dataset poison the union (review r5)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from logcrawler_ray.pipelines.ingest import ingest_sharded, read_sharded
+
+    good = corpus_tab.slice(0, 24)
+    bad = corpus_tab.slice(24, 24)
+    idx = bad.schema.get_field_index("bytes")
+    bad = bad.set_column(idx, "bytes",
+                         pa.array([b"\x00corrupt"] * bad.num_rows))
+    files = []
+    for i, tab in enumerate([good, bad]):
+        p = str(tmp_path / f"in-{i}.parquet")
+        pq.write_table(tab, p)
+        files.append(p)
+
+    st = ImageStore(str(tmp_path / "store"))
+    pid = ingest_sharded(files, st, pid="sh", files_per_shard=1,
+                         concurrency=None)
+    out = read_sharded(st, pid).to_pandas()
+    uniq = len(set(good["phash"].to_pylist()))
+    assert len(out) == uniq  # only the good shard's unique rows survive
+
+    # degenerate: EVERY shard fileless — still completes with 0 rows
+    st2 = ImageStore(str(tmp_path / "store2"))
+    pid2 = ingest_sharded([files[1]], st2, pid="sh", files_per_shard=1,
+                          concurrency=None)
+    assert st2.manifest(pid2)["meta"]["rows_total"] == 0
+
+
 def test_ingest_sharded_resume(ray_session, corpus_tab, tmp_path):
     """Shard-granular resumable ingest: commit per input-file-group
     partitions, global dedup as per-shard delete views, rerun skips all."""
